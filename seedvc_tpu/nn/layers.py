@@ -1,0 +1,168 @@
+"""Core transformer building blocks (flax.linen, channels-last).
+
+Semantics match the reference gpt-fast-style stack
+(``modules/diffusion_transformer.py``): RMSNorm in fp32 (``:274-285``),
+interleaved-pair RoPE (``:288-312``), fused-QKV attention with GQA plumbing
+(``:194-260``), SwiGLU FFN (``:263-271``), 2-parameter adaptive layer norm
+(``:30-48``), sinusoidal timestep embedder with scale 1000 (``:323-364``).
+The implementation is TPU-first: einsum attention that XLA maps onto the MXU,
+static shapes, no KV-cache objects (decode uses a separate scan path in
+``models/ar.py``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class RMSNorm(nn.Module):
+    """RMS norm computed in fp32 then cast back (reference ``:280-285``)."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        weight = self.param("weight", nn.initializers.ones, (self.dim,))
+        xf = x.astype(jnp.float32)
+        normed = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
+        return normed.astype(x.dtype) * weight
+
+
+class AdaptiveRMSNorm(nn.Module):
+    """weight/bias from a conditioning embedding (reference AdaptiveLayerNorm,
+    ``:30-48``; despite its name it wraps RMSNorm).  When ``emb`` is None the
+    plain norm is applied (time-as-token models)."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: Optional[jax.Array]) -> jax.Array:
+        normed = RMSNorm(self.dim, self.eps, name="norm")(x)
+        if emb is None:
+            return normed
+        wb = nn.Dense(2 * self.dim, name="project_layer", dtype=x.dtype)(emb)
+        weight, bias = jnp.split(wb, 2, axis=-1)
+        return weight * normed + bias
+
+
+def rope_cache(seq_len: int, head_dim: int, base: float = 10000.0) -> np.ndarray:
+    """(seq_len, head_dim//2, 2) cos/sin cache — reference
+    ``precompute_freqs_cis`` (``:288-297``)."""
+    freqs = 1.0 / (base ** (np.arange(0, head_dim, 2)[: head_dim // 2] / head_dim))
+    t = np.arange(seq_len)
+    ang = np.outer(t, freqs)
+    return np.stack([np.cos(ang), np.sin(ang)], axis=-1).astype(np.float32)
+
+
+def apply_rope(x: jax.Array, freqs: jax.Array) -> jax.Array:
+    """Rotate interleaved pairs. x: (B, T, H, D); freqs: (T, D//2, 2).
+
+    Matches reference ``apply_rotary_emb`` (``:300-312``) — fp32 math, pairs
+    are adjacent elements (..., 2i, 2i+1).
+    """
+    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+    cos = freqs[None, :, None, :, 0]
+    sin = freqs[None, :, None, :, 1]
+    out = jnp.stack(
+        [xf[..., 0] * cos - xf[..., 1] * sin,
+         xf[..., 1] * cos + xf[..., 0] * sin],
+        axis=-1,
+    )
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+class Attention(nn.Module):
+    """Fused-QKV multi-head attention with grouped KV heads.
+
+    Mask is a boolean (B, 1, Tq, Tk) (True = attend).  Softmax in fp32.
+    """
+
+    dim: int
+    n_head: int
+    n_local_heads: int | None = None  # KV heads (GQA); defaults to n_head
+    head_dim: int | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        freqs: jax.Array,
+        mask: Optional[jax.Array],
+    ) -> jax.Array:
+        n_kv = self.n_local_heads or self.n_head
+        hd = self.head_dim or self.dim // self.n_head
+        B, T, _ = x.shape
+
+        qkv = nn.Dense((self.n_head + 2 * n_kv) * hd, use_bias=False,
+                       name="wqkv", dtype=x.dtype)(x)
+        q, k, v = jnp.split(
+            qkv, [self.n_head * hd, self.n_head * hd + n_kv * hd], axis=-1)
+        q = q.reshape(B, T, self.n_head, hd)
+        k = k.reshape(B, T, n_kv, hd)
+        v = v.reshape(B, T, n_kv, hd)
+
+        q = apply_rope(q, freqs)
+        k = apply_rope(k, freqs)
+
+        if n_kv != self.n_head:
+            rep = self.n_head // n_kv
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+
+        scale = 1.0 / math.sqrt(hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.reshape(B, T, self.n_head * hd)
+        return nn.Dense(self.dim, use_bias=False, name="wo", dtype=x.dtype)(out)
+
+
+class FeedForward(nn.Module):
+    """SwiGLU: w2(silu(w1 x) * w3 x) — reference ``:263-271``."""
+
+    dim: int
+    intermediate: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h1 = nn.Dense(self.intermediate, use_bias=False, name="w1", dtype=x.dtype)(x)
+        h3 = nn.Dense(self.intermediate, use_bias=False, name="w3", dtype=x.dtype)(x)
+        return nn.Dense(self.dim, use_bias=False, name="w2", dtype=x.dtype)(
+            nn.silu(h1) * h3)
+
+
+def ffn_intermediate_size(dim: int) -> int:
+    """gpt-fast default intermediate size (reference ``:71-74``)."""
+    hidden = int(2 * (4 * dim) / 3)
+    return -(-hidden // 256) * 256
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal timestep embedding (scale=1000) -> MLP(SiLU) — reference
+    ``:323-364``."""
+
+    hidden_size: int
+    freq_embed_size: int = 256
+
+    @nn.compact
+    def __call__(self, t: jax.Array) -> jax.Array:
+        half = self.freq_embed_size // 2
+        freqs = jnp.exp(
+            -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half)
+        args = 1000.0 * t[:, None].astype(jnp.float32) * freqs[None]
+        emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+        emb = nn.Dense(self.hidden_size, name="mlp0")(emb)
+        emb = nn.silu(emb)
+        return nn.Dense(self.hidden_size, name="mlp2")(emb)

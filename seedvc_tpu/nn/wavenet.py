@@ -1,0 +1,77 @@
+"""Non-causal WaveNet stack used as the DiT's final post-net.
+
+Mirrors the reference WN (``modules/wavenet.py:103-174``): per layer a
+dilated conv to 2*C channels, a global conditioning 1x1 conv over the time
+embedding (one slice per layer), gated tanh*sigmoid activation
+(``modules/commons.py:131-138``), and res/skip 1x1 convs (skip accumulated,
+residual added to x).  The reference's weight-normed SConv1d wrappers
+(``modules/encodec.py``) are a training parameterization only — here the
+convs are plain; converted checkpoints have weight norm folded in.
+
+Layout: (B, T, C) channels-last.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class WaveNet(nn.Module):
+    hidden_channels: int
+    kernel_size: int
+    dilation_rate: int
+    n_layers: int
+    gin_channels: int = 0
+    p_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        x_mask: Optional[jax.Array],
+        g: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """x: (B, T, C); x_mask: (B, T, 1) or None; g: (B, 1, gin)."""
+        C = self.hidden_channels
+        output = jnp.zeros_like(x)
+        if x_mask is None:
+            x_mask = jnp.ones((x.shape[0], x.shape[1], 1), x.dtype)
+
+        if g is not None and self.gin_channels:
+            # One 1x1 conv producing all layers' conditioning at once
+            # (reference cond_layer, ``wavenet.py:120``).
+            g_all = nn.Dense(2 * C * self.n_layers, name="cond_layer",
+                             dtype=x.dtype)(g)
+        else:
+            g_all = None
+
+        for i in range(self.n_layers):
+            dilation = self.dilation_rate ** i
+            x_in = nn.Conv(
+                2 * C, (self.kernel_size,), kernel_dilation=dilation,
+                padding="SAME", name=f"in_layers_{i}", dtype=x.dtype,
+            )(x)
+            if g_all is not None:
+                g_l = g_all[..., i * 2 * C:(i + 1) * 2 * C]
+                x_in = x_in + g_l
+            t_act = jnp.tanh(x_in[..., :C])
+            s_act = jax.nn.sigmoid(x_in[..., C:])
+            acts = t_act * s_act
+            if self.p_dropout > 0:
+                acts = nn.Dropout(self.p_dropout, deterministic=deterministic)(acts)
+
+            if i < self.n_layers - 1:
+                res_skip = nn.Conv(2 * C, (1,), name=f"res_skip_layers_{i}",
+                                   dtype=x.dtype)(acts)
+                x = (x + res_skip[..., :C]) * x_mask
+                output = output + res_skip[..., C:]
+            else:
+                res_skip = nn.Conv(C, (1,), name=f"res_skip_layers_{i}",
+                                   dtype=x.dtype)(acts)
+                output = output + res_skip
+        return output * x_mask

@@ -1,0 +1,196 @@
+"""Tests for the generative core: layers, DiT estimator, CFM loss/sampler."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seedvc_tpu.core.config import (
+    DiTConfig,
+    LengthRegulatorConfig,
+    ModelParams,
+    WavenetConfig,
+)
+from seedvc_tpu.models.cfm import CFM, euler_solve
+from seedvc_tpu.models.dit import DiT
+from seedvc_tpu.models.regulator import InterpolateRegulator, f0_to_coarse
+from seedvc_tpu.nn.layers import RMSNorm, apply_rope, rope_cache
+
+
+def tiny_params(final_layer="mlp", **dit_kw) -> ModelParams:
+    kw = dict(
+        hidden_dim=64, num_heads=4, depth=4, in_channels=8,
+        final_layer_type=final_layer, content_dim=16,
+        long_skip_connection=True, uvit_skip_connection=True,
+        class_dropout_prob=0.1,
+    )
+    kw.update(dit_kw)
+    dit = DiTConfig(**kw)
+    return ModelParams(
+        DiT=dit,
+        wavenet=WavenetConfig(hidden_dim=64, num_layers=2, kernel_size=5,
+                              dilation_rate=1, p_dropout=0.0),
+    )
+
+
+def test_rmsnorm_matches_torch():
+    import torch
+
+    x = np.random.default_rng(0).standard_normal((2, 5, 16)).astype(np.float32)
+    m = RMSNorm(16)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ours = m.apply(variables, jnp.asarray(x))
+    xt = torch.from_numpy(x)
+    ref = xt * torch.rsqrt((xt * xt).mean(-1, keepdim=True) + 1e-5)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
+def test_rope_matches_torch_reference():
+    """Parity with the gpt-fast interleaved-pair rotary embedding
+    (reference ``diffusion_transformer.py:288-312``)."""
+    import torch
+
+    T, H, D = 6, 2, 8
+    x = np.random.default_rng(1).standard_normal((1, T, H, D)).astype(np.float32)
+
+    freqs = 1.0 / (10000.0 ** (torch.arange(0, D, 2)[: D // 2].float() / D))
+    ang = torch.outer(torch.arange(T), freqs)
+    fc = torch.stack([torch.cos(ang), torch.sin(ang)], dim=-1)
+    xt = torch.from_numpy(x).reshape(1, T, H, D // 2, 2)
+    fcr = fc.view(1, T, 1, D // 2, 2)
+    ref = torch.stack(
+        [xt[..., 0] * fcr[..., 0] - xt[..., 1] * fcr[..., 1],
+         xt[..., 1] * fcr[..., 0] + xt[..., 0] * fcr[..., 1]], -1
+    ).flatten(3).numpy()
+
+    ours = apply_rope(jnp.asarray(x), jnp.asarray(rope_cache(T, D)))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("final_layer", ["mlp", "wavenet"])
+def test_dit_forward_shapes(final_layer):
+    mp = tiny_params(final_layer)
+    B, T = 2, 16
+    model = DiT(mp)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((B, T, 8))
+    cond = jnp.zeros((B, T, 16))
+    style = jnp.zeros((B, 192))
+    lens = jnp.array([16, 12])
+    variables = model.init(rng, x, x, lens, jnp.zeros((B,)), style, cond)
+    out = model.apply(variables, x, x, lens, jnp.full((B,), 0.5), style, cond)
+    assert out.shape == (B, T, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dit_tokens_variant():
+    """style_as_token + time_as_token path (xlsr-tiny layout)."""
+    mp = tiny_params("mlp", time_as_token=True, style_as_token=True,
+                     long_skip_connection=False)
+    B, T = 2, 12
+    model = DiT(mp)
+    x = jnp.zeros((B, T, 8))
+    cond = jnp.zeros((B, T, 16))
+    style = jnp.ones((B, 192))
+    lens = jnp.array([12, 8])
+    variables = model.init(jax.random.PRNGKey(0), x, x, lens, jnp.zeros((B,)),
+                           style, cond)
+    out = model.apply(variables, x, x, lens, jnp.full((B,), 0.3), style, cond)
+    assert out.shape == (B, T, 8)
+
+
+def test_dit_padding_invariance():
+    """Outputs on valid frames must not depend on padding frames."""
+    mp = tiny_params("mlp")
+    model = DiT(mp)
+    B, T, L = 1, 16, 10
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((B, T, 8)).astype(np.float32)
+    cond = rng.standard_normal((B, T, 16)).astype(np.float32)
+    style = rng.standard_normal((B, 192)).astype(np.float32)
+    lens = jnp.array([L])
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(x),
+                           lens, jnp.zeros((B,)), jnp.asarray(style),
+                           jnp.asarray(cond))
+
+    out1 = model.apply(variables, jnp.asarray(x), jnp.asarray(x), lens,
+                       jnp.full((B,), 0.5), jnp.asarray(style), jnp.asarray(cond))
+    x2, cond2 = x.copy(), cond.copy()
+    x2[:, L:] = 99.0
+    cond2[:, L:] = -99.0
+    out2 = model.apply(variables, jnp.asarray(x2), jnp.asarray(x2), lens,
+                       jnp.full((B,), 0.5), jnp.asarray(style), jnp.asarray(cond2))
+    np.testing.assert_allclose(
+        np.asarray(out1)[:, :L], np.asarray(out2)[:, :L], atol=2e-5)
+
+
+def test_cfm_loss_and_sampler():
+    mp = tiny_params("mlp")
+    B, T = 2, 16
+    cfm = CFM(mp)
+    rng = jax.random.PRNGKey(0)
+    x1 = jax.random.normal(jax.random.PRNGKey(1), (B, T, 8))
+    mu = jax.random.normal(jax.random.PRNGKey(2), (B, T, 16))
+    style = jax.random.normal(jax.random.PRNGKey(3), (B, 192))
+    x_lens = jnp.array([16, 12])
+    prompt_lens = jnp.array([4, 6])
+
+    variables = cfm.init(rng, x1, x_lens, prompt_lens, mu, style,
+                         rng_t=jax.random.PRNGKey(4),
+                         rng_noise=jax.random.PRNGKey(5))
+    loss, out = cfm.apply(variables, x1, x_lens, prompt_lens, mu, style,
+                          rng_t=jax.random.PRNGKey(6),
+                          rng_noise=jax.random.PRNGKey(7))
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert out.shape == x1.shape
+
+    def estimate_fn(x, p, lens, t, s, m):
+        return cfm.apply(variables, x, p, lens, t, s, m, method=cfm.estimate)
+
+    prompt = jnp.where(jnp.arange(T)[None, :, None] < 4, x1, 0.0)
+    mel = euler_solve(estimate_fn, jax.random.PRNGKey(8), mu, x_lens, prompt,
+                      4, style, n_mels=8, n_timesteps=3, cfg_rate=0.7)
+    assert mel.shape == (B, T, 8)
+    # prompt region zeroed, generated region nonzero
+    assert np.abs(np.asarray(mel)[:, :4]).max() == 0.0
+    assert np.abs(np.asarray(mel)[:, 4:12]).max() > 0.0
+
+
+def test_f0_to_coarse_matches_torch():
+    import torch
+
+    f0 = np.array([[0.0, 50.0, 100.0, 440.0, 1100.0, 2000.0]], np.float32)
+    ours = np.asarray(f0_to_coarse(jnp.asarray(f0), 256))
+
+    f0t = torch.from_numpy(f0)
+    f0_mel_min = 1127 * np.log(1 + 50.0 / 700)
+    f0_mel_max = 1127 * np.log(1 + 1100.0 / 700)
+    f0_mel = 1127 * (1 + f0t / 700).log()
+    a = (256 - 2) / (f0_mel_max - f0_mel_min)
+    b = f0_mel_min * a - 1.0
+    f0_mel = torch.where(f0_mel > 0, f0_mel * a - b, f0_mel)
+    fc = torch.round(f0_mel).long()
+    fc = fc * (fc > 0)
+    fc = fc + ((fc < 1) * 1)
+    fc = fc * (fc < 256)
+    fc = fc + ((fc >= 256) * 255)
+    np.testing.assert_array_equal(ours, fc.numpy())
+
+
+def test_regulator_shapes_and_interp():
+    cfg = LengthRegulatorConfig(channels=32, is_discrete=False, in_channels=16,
+                                sampling_ratios=(1, 1), f0_condition=True,
+                                n_f0_bins=64)
+    reg = InterpolateRegulator(cfg)
+    B, T_in, T_out = 2, 10, 20
+    x = jnp.ones((B, T_in, 16))
+    ylens = jnp.array([20, 15])
+    f0 = jnp.full((B, T_in), 220.0)
+    variables = reg.init(jax.random.PRNGKey(0), x, ylens, T_out, f0)
+    out, olens = reg.apply(variables, x, ylens, T_out, f0)
+    assert out.shape == (B, T_out, 32)
+    # masked beyond ylens
+    assert np.abs(np.asarray(out)[1, 15:]).max() == 0.0
+    # f0=None path uses the learned mask token
+    out2, _ = reg.apply(variables, x, ylens, T_out, None)
+    assert out2.shape == (B, T_out, 32)
