@@ -1,0 +1,94 @@
+"""North-star benchmark: offline VC mel-generation throughput on one chip.
+
+Measures audio-seconds generated per wall-second for the flagship model
+(seed-uvit-whisper-small-wavenet, 98M DiT + WaveNet post-net) running the
+full 25-step Euler CFM sampler with CFG (2x stacked batch) over a 30-second
+context window — the reference's standard inference configuration
+(``EVAL.md:41-52``: 25 diffusion steps, cfg 0.7; 30 s context window,
+``inference.py:470``).
+
+Baseline: the reference publishes no offline RTF; its only latency figure is
+the real-time path — 0.18 s of audio in 150 ms at 10 steps on an RTX 3060
+(README.md:138-142), i.e. 1.2 audio-seconds/s.  vs_baseline is measured
+against that (conservative: we run 25 steps, not 10).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from seedvc_tpu.core.config import get_preset
+from seedvc_tpu.models.cfm import CFM, euler_solve
+
+BASELINE_AUDIO_SEC_PER_S = 1.2  # RTX 3060 realtime block ratio (see above)
+
+
+def main():
+    cfg = get_preset("whisper_small_wavenet")
+    mp = cfg.model_params
+    sr = cfg.preprocess_params.sr
+    hop = cfg.preprocess_params.spect_params.hop_length
+
+    # 30 s context window: prompt (3 s) + source chunk (27 s).
+    T = int(sr / hop * 30)          # 2583 frames
+    prompt_len = int(sr / hop * 3)  # 258 frames
+    n_steps = 25
+    cfg_rate = 0.7
+    B = 1
+    C = mp.DiT.in_channels
+    D = mp.DiT.content_dim
+    compute_dtype = jnp.bfloat16
+
+    cfm = CFM(mp)
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((B, T, C), compute_dtype)
+    lens = jnp.full((B,), T, jnp.int32)
+    t0 = jnp.zeros((B,), jnp.float32)
+    style = jax.random.normal(key, (B, mp.style_encoder.dim), compute_dtype)
+    cond = jax.random.normal(key, (B, T, D), compute_dtype)
+    variables = cfm.init(key, x0, x0, lens, t0, style, cond, method=cfm.estimate)
+
+    @jax.jit
+    def sample(variables, key, cond, style):
+        def estimate_fn(x, p, l, t, s, m):
+            return cfm.apply(variables, x, p, l, t, s, m, method=cfm.estimate)
+
+        return euler_solve(
+            estimate_fn, key, cond, lens,
+            jnp.zeros((B, T, C), compute_dtype), prompt_len, style,
+            n_mels=C, n_timesteps=n_steps, cfg_rate=cfg_rate)
+
+    # Warmup / compile.
+    t_compile = time.perf_counter()
+    sample(variables, key, cond, style).block_until_ready()
+    print(f"compile+first run: {time.perf_counter() - t_compile:.1f}s",
+          file=sys.stderr)
+
+    times = []
+    for i in range(3):
+        t0_ = time.perf_counter()
+        sample(variables, jax.random.PRNGKey(i + 1), cond, style).block_until_ready()
+        times.append(time.perf_counter() - t0_)
+    best = min(times)
+
+    audio_seconds = (T - prompt_len) * hop / sr
+    value = audio_seconds / best
+    print(f"times={['%.3f' % t for t in times]} audio_s={audio_seconds:.2f}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "offline_vc_mel_generation_throughput",
+        "value": round(value, 3),
+        "unit": "audio_seconds_per_second",
+        "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -144,8 +144,8 @@ def euler_solve(
         else:
             tt = jnp.full((B,), t_cur, mu.dtype)
             v = estimate_fn(x, est_prompt, est_lens, tt, est_style, est_mu)
-        x = x + dt * v
-        x = jnp.where(in_prompt, 0.0, x)
+        x = (x + dt.astype(jnp.float32) * v.astype(jnp.float32)).astype(x.dtype)
+        x = jnp.where(in_prompt, jnp.zeros((), x.dtype), x)
         return x, None
 
     ts = jnp.stack([t_span[:-1], t_span[1:] - t_span[:-1]], axis=1)

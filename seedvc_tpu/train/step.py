@@ -1,0 +1,94 @@
+"""Sharded training step: one jitted SPMD program over a (data, model) mesh.
+
+The reference's only multi-device path is HF Accelerate DDP
+(``train_v2.py:146-171``).  Here parameters carry tensor-parallel shardings
+(``parallel/sharding.py``), the batch is sharded over ``data``, and XLA
+inserts the gradient all-reduce and TP collectives automatically.  Optimizer
+state (AdamW mu/nu) embeds the parameter paths, so the same path-regex rules
+shard it identically to the parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from seedvc_tpu.models.vc import VCModel
+from seedvc_tpu.parallel.mesh import AXES
+from seedvc_tpu.parallel.sharding import logical_to_sharding
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def init_state(model: VCModel, optimizer: optax.GradientTransformation,
+               rng: jax.Array, example_batch: dict) -> TrainState:
+    variables = model.init(
+        rng,
+        example_batch["s_alt"], example_batch["s_ori"], example_batch["mels"],
+        example_batch["mel_lens"], example_batch["style"],
+        rngs_dict={"prompt": rng, "t": rng, "noise": rng, "drop": rng},
+        deterministic=True,
+    )
+    params = variables["params"]
+    return TrainState(params=params, opt_state=optimizer.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place a TrainState onto the mesh with TP shardings."""
+    return TrainState(
+        params=jax.device_put(state.params, logical_to_sharding(state.params, mesh)),
+        opt_state=jax.device_put(state.opt_state,
+                                 logical_to_sharding(state.opt_state, mesh)),
+        step=jax.device_put(state.step, NamedSharding(mesh, P())),
+    )
+
+
+def make_sharded_train_step(model: VCModel,
+                            optimizer: optax.GradientTransformation,
+                            mesh: Mesh):
+    """Build step_fn(state, batch, rng) -> (state, metrics), jitted SPMD."""
+
+    replicated = NamedSharding(mesh, P())
+
+    def loss_fn(params, batch, rng):
+        keys = jax.random.split(rng, 4)
+        loss, _ = model.apply(
+            {"params": params},
+            batch["s_alt"], batch["s_ori"], batch["mels"],
+            batch["mel_lens"], batch["style"],
+            rngs_dict={"prompt": keys[0], "t": keys[1], "noise": keys[2],
+                       "drop": keys[3]},
+            deterministic=True,
+        )
+        return loss
+
+    def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        return (
+            TrainState(new_params, new_opt, state.step + 1),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+
+    def run(state: TrainState, batch: dict, rng: jax.Array):
+        batch = {
+            k: jax.device_put(v, NamedSharding(
+                mesh, P(AXES.data, *([None] * (v.ndim - 1)))))
+            for k, v in batch.items()
+        }
+        return jitted(state, batch, jax.device_put(rng, replicated))
+
+    return run
