@@ -1,0 +1,144 @@
+"""BigVGAN vocoder (NVIDIA bigvgan_v2 checkpoints), TPU-native.
+
+Re-design of the reference generator (``modules/bigvgan/bigvgan.py:280-400``)
+in channels-last layout:
+
+  conv_pre(7) -> per stage [ConvTranspose upsample -> mean of AMP resblocks]
+  -> anti-aliased snake post-activation -> conv_post(7) -> tanh.
+
+AMPBlock1 (``bigvgan.py:31-147``): pairs of (anti-aliased snake ->
+dilated conv, anti-aliased snake -> dilation-1 conv) with residual adds.
+
+Weight norm is folded into plain conv weights at checkpoint conversion
+(``seedvc_tpu/convert/torch_utils.py:fold_weight_norm``).  The shipped
+checkpoints (nvidia/bigvgan_v2_*) use resblock "1", snakebeta with
+log-scale, no bias at the final conv, and no final tanh (clamp instead).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from seedvc_tpu.nn.snake import SnakeAlias, snake, upsample2x, downsample2x
+
+
+@dataclass(frozen=True)
+class BigVGANConfig:
+    num_mels: int = 80
+    upsample_rates: Sequence[int] = (4, 4, 2, 2, 2, 2)
+    upsample_kernel_sizes: Sequence[int] = (8, 8, 4, 4, 4, 4)
+    upsample_initial_channel: int = 1536
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    activation: str = "snakebeta"
+    snake_logscale: bool = True
+    use_bias_at_final: bool = False
+    use_tanh_at_final: bool = False
+    use_pallas: bool = False
+
+    @property
+    def total_upsample(self) -> int:
+        r = 1
+        for u in self.upsample_rates:
+            r *= u
+        return r
+
+
+BIGVGAN_22K_80 = BigVGANConfig()  # nvidia/bigvgan_v2_22khz_80band_256x
+BIGVGAN_44K_128 = BigVGANConfig(  # nvidia/bigvgan_v2_44khz_128band_512x
+    num_mels=128, upsample_rates=(8, 4, 2, 2, 2, 2),
+    upsample_kernel_sizes=(16, 8, 4, 4, 4, 4))
+
+
+class AMPBlock1(nn.Module):
+    cfg: BigVGANConfig
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        sb = self.cfg.activation == "snakebeta"
+        for i, d in enumerate(self.dilations):
+            h = SnakeAlias(self.channels, snake_beta=sb,
+                           logscale=self.cfg.snake_logscale,
+                           use_pallas=self.cfg.use_pallas,
+                           name=f"act1_{i}")(x)
+            h = nn.Conv(self.channels, (self.kernel_size,), kernel_dilation=d,
+                        padding=[((self.kernel_size - 1) // 2 * d,) * 2],
+                        name=f"convs1_{i}", dtype=x.dtype)(h)
+            h = SnakeAlias(self.channels, snake_beta=sb,
+                           logscale=self.cfg.snake_logscale,
+                           use_pallas=self.cfg.use_pallas,
+                           name=f"act2_{i}")(h)
+            h = nn.Conv(self.channels, (self.kernel_size,),
+                        padding=[((self.kernel_size - 1) // 2,) * 2],
+                        name=f"convs2_{i}", dtype=x.dtype)(h)
+            x = x + h
+        return x
+
+
+class BigVGAN(nn.Module):
+    cfg: BigVGANConfig = field(default_factory=lambda: BIGVGAN_22K_80)
+
+    @nn.compact
+    def __call__(self, mel: jax.Array) -> jax.Array:
+        """mel: (B, T, num_mels) log-mel -> (B, T * total_upsample) waveform."""
+        c = self.cfg
+        x = nn.Conv(c.upsample_initial_channel, (7,), padding=[(3, 3)],
+                    name="conv_pre", dtype=mel.dtype)(mel)
+
+        ch = c.upsample_initial_channel
+        for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
+            ch = c.upsample_initial_channel // (2 ** (i + 1))
+            # torch ConvTranspose1d(k, stride=u, padding=(k-u)//2):
+            # out = (T-1)*u + k - 2*((k-u)//2) = T*u for k = 2u or k = u.
+            # Express as lhs-dilated conv with 'full'-minus-padding windows.
+            pad = (k - u) // 2
+            x = _conv_transpose1d(x, ch, k, u, pad, name=f"ups_{i}", parent=self)
+            xs = None
+            for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
+                                             c.resblock_dilation_sizes)):
+                y = AMPBlock1(c, ch, rk, tuple(rd),
+                              name=f"resblocks_{i}_{j}")(x)
+                xs = y if xs is None else xs + y
+            x = xs / len(c.resblock_kernel_sizes)
+
+        sb = c.activation == "snakebeta"
+        x = SnakeAlias(ch, snake_beta=sb, logscale=c.snake_logscale,
+                       use_pallas=c.use_pallas, name="activation_post")(x)
+        x = nn.Conv(1, (7,), padding=[(3, 3)], use_bias=c.use_bias_at_final,
+                    name="conv_post", dtype=x.dtype)(x)
+        x = x[..., 0]
+        if c.use_tanh_at_final:
+            return jnp.tanh(x)
+        return jnp.clip(x, -1.0, 1.0)
+
+
+def _conv_transpose1d(x, out_ch, kernel, stride, pad, name, parent):
+    """torch ConvTranspose1d semantics, channels-last.
+
+    Implemented as input dilation + correlation with the spatially-flipped,
+    (in,out)-transposed kernel — the standard transpose-conv identity.
+    Kernel param shape mirrors flax ConvTranspose: (K, in, out).
+    """
+    in_ch = x.shape[-1]
+    kernel_param = parent.param(f"{name}_kernel",
+                                nn.initializers.lecun_normal(),
+                                (kernel, in_ch, out_ch))
+    bias = parent.param(f"{name}_bias", nn.initializers.zeros, (out_ch,))
+    flipped = jnp.flip(kernel_param, axis=0)
+    y = jax.lax.conv_general_dilated(
+        x, flipped,
+        window_strides=(1,),
+        padding=[(kernel - 1 - pad, kernel - 1 - pad)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return y + bias

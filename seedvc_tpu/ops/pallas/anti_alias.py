@@ -1,0 +1,146 @@
+"""Fused anti-aliased snake activation — Pallas TPU kernel.
+
+TPU-native equivalent of the reference CUDA kernel
+(``modules/bigvgan/alias_free_activation/cuda/anti_alias_activation_cuda.cu``):
+one pass over HBM computing
+
+    2x kaiser-sinc upsample (replicate-padded) -> snakebeta -> 2x kaiser-sinc
+    low-pass downsample (replicate-padded)
+
+The unfused composition (``seedvc_tpu/nn/snake.py``) reads/writes the 2x
+intermediate from HBM; this kernel keeps it in VMEM.  The polyphase
+decomposition is derived exactly from the composition (verified by
+``tests/test_pallas_anti_alias.py``):
+
+  up   (K=12, ratio 2, replicate pad 5, trim 15/15):
+      u0[s] = u[2s]   = 2 * sum_j f[2j]   * x[clamp(s+j-3)]
+      u1[s] = u[2s+1] = 2 * sum_j f[2j+1] * x[clamp(s+j-2)]
+  down (K=12, stride 2, replicate pad (5, 6)):
+      out[t] = sum_j g[2j+1]*s0c[t+j-2] + sum_j g[2j]*s1c[t+j-3]
+  where s0/s1 = snake(u0/u1) and the c-subscript clamps are in *u index
+  space*: u_c[m<0] = u[0] (phase 0) and u_c[m>2T-1] = u[2T-1] (phase 1) —
+  i.e. the left halo of BOTH phases replicates s0[0] and the right halo of
+  both phases replicates s1[T-1].
+
+x-level clamping is realised by an 8-sample edge pad applied by the caller;
+u-level clamping is patched in-kernel on the global first/last tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from seedvc_tpu.dsp.filters import kaiser_sinc_filter1d
+
+_K = 12
+_HALO = 8  # covers max x offset: |j - 3| + tile spill
+
+
+def _make_kernel_clean(TT: int, CT: int, T: int):
+    f = kaiser_sinc_filter1d(0.25, 0.3, _K)
+    g = kaiser_sinc_filter1d(0.25, 0.3, _K)
+    SU = TT + 6
+    last_tile = (T - 1) // TT
+    r_last = (T - 1) - last_tile * TT + 3
+
+    def kernel(x_hbm, alpha_ref, invb_ref, out_ref, xw, sem):
+        b = pl.program_id(0)
+        ti = pl.program_id(1)
+        ci = pl.program_id(2)
+
+        dma = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(ti * TT, TT + 2 * _HALO), pl.ds(ci * CT, CT)],
+            xw, sem)
+        dma.start()
+        alpha = alpha_ref[0, :]
+        inv_beta = invb_ref[0, :]
+        dma.wait()
+
+        x = xw[:]
+
+        u0 = jnp.zeros((SU, CT), jnp.float32)
+        u1 = jnp.zeros((SU, CT), jnp.float32)
+        for j in range(6):
+            u0 += (2.0 * float(f[2 * j])) * x[j + 2: j + 2 + SU, :]
+            u1 += (2.0 * float(f[2 * j + 1])) * x[j + 3: j + 3 + SU, :]
+
+        s0 = u0 + inv_beta * jnp.sin(u0 * alpha) ** 2
+        s1 = u1 + inv_beta * jnp.sin(u1 * alpha) ** 2
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (SU, 1), 0)
+        first = (ti == 0)
+        last = (ti == last_tile)
+        edge_left = s0[3:4, :]
+        left_mask = jnp.logical_and(first, row < 3)
+        s0 = jnp.where(left_mask, edge_left, s0)
+        s1 = jnp.where(left_mask, edge_left, s1)
+        edge_right = s1[r_last: r_last + 1, :]
+        right_mask = jnp.logical_and(last, row > r_last)
+        s0 = jnp.where(right_mask, edge_right, s0)
+        s1 = jnp.where(right_mask, edge_right, s1)
+
+        out = jnp.zeros((TT, CT), jnp.float32)
+        for j in range(6):
+            out += float(g[2 * j + 1]) * s0[j + 1: j + 1 + TT, :]
+            out += float(g[2 * j]) * s1[j: j + TT, :]
+        out_ref[0] = out.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("logscale", "tile_t"))
+def anti_alias_snake(x: jax.Array, alpha: jax.Array, beta: jax.Array,
+                     logscale: bool = True, tile_t: int = 512) -> jax.Array:
+    """Fused up2x -> snakebeta -> down2x.  x: (B, T, C) -> (B, T, C)."""
+    B, T, C = x.shape
+    in_dtype = x.dtype
+    if logscale:
+        alpha = jnp.exp(alpha)
+        inv_beta = 1.0 / (jnp.exp(beta) + 1e-9)
+    else:
+        inv_beta = 1.0 / (beta + 1e-9)
+
+    TT = min(tile_t, max(8, T))
+    # Lane (channel) dim must be 128-aligned for HBM slicing: pad C up.
+    Cp = -(-C // 128) * 128
+    CT = 128
+    n_t = -(-T // TT)
+    n_c = Cp // CT
+
+    # Pad time to tile multiple + halo; edge mode realises x-level clamping.
+    Tp = n_t * TT
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (_HALO, _HALO + (Tp - T)), (0, 0)),
+                 mode="edge")
+    if Cp != C:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, Cp - C)))
+        alpha = jnp.pad(alpha, (0, Cp - C), constant_values=1.0)
+        inv_beta = jnp.pad(inv_beta, (0, Cp - C), constant_values=1.0)
+
+    kernel = _make_kernel_clean(TT, CT, T)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_t, n_c),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, CT), lambda b, t, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CT), lambda b, t, c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TT, CT), lambda b, t, c: (b, t, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, Cp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TT + 2 * _HALO, CT), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=(jax.default_backend() == "cpu"),
+    )(xp, alpha.reshape(1, Cp).astype(jnp.float32),
+      inv_beta.reshape(1, Cp).astype(jnp.float32))
+    return out[:, :T, :C].astype(in_dtype)
