@@ -1,0 +1,78 @@
+"""Offline voice conversion CLI.
+
+TPU-native analogue of the reference ``python inference.py`` entry point
+(``inference.py:538-552``):
+
+    python -m seedvc_tpu.apps.infer --source a.wav --target ref.wav \
+        --output out/ --diffusion-steps 25 --inference-cfg-rate 0.7
+
+Without converted checkpoints (``--checkpoint-dir``) the models run with
+random weights — useful for latency/throughput smoke runs only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="seedvc_tpu offline VC")
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--target", required=True, help="reference voice wav")
+    ap.add_argument("--output", default="./out")
+    ap.add_argument("--preset", default="whisper_small_wavenet")
+    ap.add_argument("--diffusion-steps", type=int, default=25)
+    ap.add_argument("--length-adjust", type=float, default=1.0)
+    ap.add_argument("--inference-cfg-rate", type=float, default=0.7)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="directory with converted .pkl parameter trees")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from seedvc_tpu.apps.audio_io import load_wav, save_wav
+    from seedvc_tpu.core.config import get_preset
+    from seedvc_tpu.pipelines.convert import VoiceConverter
+
+    cfg = get_preset(args.preset)
+
+    params = {}
+    if args.checkpoint_dir:
+        for name in ("vc", "whisper", "campplus", "vocoder"):
+            path = os.path.join(args.checkpoint_dir, f"{name}.pkl")
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    params[f"{name}_params"] = pickle.load(f)
+    else:
+        print("[warn] no --checkpoint-dir: running with RANDOM weights "
+              "(smoke/perf mode)", file=sys.stderr)
+
+    converter = VoiceConverter(cfg, seed=args.seed, **params)
+
+    src, src_sr = load_wav(args.source)
+    ref, ref_sr = load_wav(args.target)
+    sr, wave, stats = converter.convert(
+        src, src_sr, ref, ref_sr,
+        diffusion_steps=args.diffusion_steps,
+        length_adjust=args.length_adjust,
+        cfg_rate=args.inference_cfg_rate,
+        seed=args.seed,
+    )
+
+    os.makedirs(args.output, exist_ok=True)
+    src_name = os.path.splitext(os.path.basename(args.source))[0]
+    ref_name = os.path.splitext(os.path.basename(args.target))[0]
+    out_path = os.path.join(
+        args.output,
+        f"vc_{src_name}_{ref_name}_{args.length_adjust}_{args.diffusion_steps}"
+        f"_{args.inference_cfg_rate}.wav")
+    save_wav(out_path, wave, sr)
+    print(f"RTF: {stats['rtf']:.4f}  ({stats['audio_seconds']:.2f}s audio in "
+          f"{stats['wall_seconds']:.2f}s, {stats['chunks']} chunks)")
+    print(f"saved: {out_path}")
+
+
+if __name__ == "__main__":
+    main()

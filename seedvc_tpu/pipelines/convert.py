@@ -1,0 +1,330 @@
+"""Offline voice-conversion pipeline (v1).
+
+Re-design of the reference CLI path (``inference.py:352-533``), built around
+a small number of fixed-shape jitted programs so the TPU never recompiles
+during a conversion:
+
+1. resample source/reference to model sr and 16 kHz,
+2. Whisper semantic features in 30 s windows (5 s overlap, 250 overlapped
+   frames dropped on concat — ``inference.py:382-403``),
+3. mel frontends, CAMPPlus style from kaldi fbank (``inference.py:425-430``),
+4. length-regulate source/reference content,
+5. chunked CFM generation: per chunk, condition = [reference prompt ‖ source
+   chunk] padded to ONE static context length; prompt length is a traced
+   scalar (masked), so every chunk reuses the same compiled sampler,
+6. BigVGAN vocoding per chunk, 16-frame cosine^2 crossfade joins
+   (``inference.py:470-528``, ``crossfade`` at ``:343-350``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seedvc_tpu.core.config import SeedVCConfig, get_preset
+from seedvc_tpu.dsp.fbank import kaldi_fbank
+from seedvc_tpu.dsp.mel import MelFrontend
+from seedvc_tpu.dsp.resample import resample
+from seedvc_tpu.dsp.whisper_mel import whisper_log_mel
+from seedvc_tpu.models.bigvgan import BIGVGAN_22K_80, BIGVGAN_44K_128, BigVGAN
+from seedvc_tpu.models.campplus import CAMPPlus
+from seedvc_tpu.models.cfm import euler_solve
+from seedvc_tpu.models.vc import VCModel
+from seedvc_tpu.models.whisper import (
+    WHISPER_SMALL, WhisperEncoder, WhisperEncoderConfig)
+
+OVERLAP_FRAMES = 16  # reference overlap_frame_len (seed_vc_wrapper.py:52)
+
+
+def cosine_crossfade(chunk1: np.ndarray, chunk2: np.ndarray, overlap: int) -> np.ndarray:
+    """Reference ``crossfade`` (``inference.py:343-350``)."""
+    fade_out = np.cos(np.linspace(0, np.pi / 2, overlap)) ** 2
+    fade_in = np.cos(np.linspace(np.pi / 2, 0, overlap)) ** 2
+    out = chunk2.copy()
+    n = min(len(chunk2), overlap)
+    out[:n] = chunk2[:n] * fade_in[:n] + (chunk1[-overlap:] * fade_out)[:n]
+    return out
+
+
+class VoiceConverter:
+    """Bundles frozen encoders + generative core + vocoder.
+
+    Parameters default to random initialisation (for tests/benchmarks);
+    production use loads converted checkpoints via the ``*_params`` args.
+    """
+
+    def __init__(
+        self,
+        cfg: Optional[SeedVCConfig] = None,
+        *,
+        whisper_cfg: WhisperEncoderConfig = WHISPER_SMALL,
+        vc_params=None,
+        whisper_params=None,
+        campplus_params=None,
+        vocoder_params=None,
+        prompt_cap_frames: int = 768,
+        context_frames: Optional[int] = None,
+        compute_dtype=jnp.float32,
+        seed: int = 0,
+    ):
+        self.cfg = cfg or get_preset("whisper_small_wavenet")
+        sp = self.cfg.preprocess_params.spect_params
+        self.sr = self.cfg.preprocess_params.sr
+        self.hop = sp.hop_length
+        self.mel_fn = MelFrontend(self.sr, sp)
+        self.n_mels = sp.n_mels
+        self.prompt_cap = prompt_cap_frames
+        self.context = context_frames or int(self.sr // self.hop * 30)
+        self.source_window = self.context - self.prompt_cap
+        self.compute_dtype = compute_dtype
+
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+
+        # NOTE: inits are jitted — unjitted flax init dispatches one tiny
+        # device op per parameter, which is pathological through the axon
+        # remote-dispatch tunnel (hundreds of round-trips).
+        self.whisper = WhisperEncoder(whisper_cfg)
+        if whisper_params is None:
+            whisper_params = jax.jit(self.whisper.init)(
+                k1, jnp.zeros((1, 3000, whisper_cfg.n_mels)))["params"]
+        self.whisper_params = whisper_params
+
+        self.campplus = CAMPPlus(feat_dim=80, embedding_size=self.cfg.model_params.style_encoder.dim)
+        if campplus_params is None:
+            campplus_params = jax.jit(self.campplus.init)(
+                k2, jnp.zeros((1, 300, 80)))["params"]
+        self.campplus_params = campplus_params
+
+        self.vc = VCModel(self.cfg.model_params)
+        if vc_params is None:
+            T0 = 32
+            dummy = {
+                "s_alt": jnp.zeros((1, T0, self.cfg.model_params.length_regulator.in_channels)),
+                "s_ori": jnp.zeros((1, T0, self.cfg.model_params.length_regulator.in_channels)),
+                "mels": jnp.zeros((1, T0, self.n_mels)),
+                "mel_lens": jnp.full((1,), T0, jnp.int32),
+                "style": jnp.zeros((1, self.cfg.model_params.style_encoder.dim)),
+            }
+            vc_params = jax.jit(partial(
+                self.vc.init, deterministic=True))(
+                k3, dummy["s_alt"], dummy["s_ori"], dummy["mels"],
+                dummy["mel_lens"], dummy["style"],
+                rngs_dict={"prompt": k3, "t": k3, "noise": k3, "drop": k3},
+            )["params"]
+        self.vc_params = vc_params
+
+        voc_cfg = BIGVGAN_44K_128 if self.n_mels == 128 else BIGVGAN_22K_80
+        self.vocoder = BigVGAN(voc_cfg)
+        if vocoder_params is None:
+            vocoder_params = jax.jit(self.vocoder.init)(
+                k4, jnp.zeros((1, 16, self.n_mels)))["params"]
+        self.vocoder_params = vocoder_params
+
+        self._build_jit_fns()
+
+    # ------------------------------------------------------------------
+    def _build_jit_fns(self):
+        whisper = self.whisper
+        campplus = self.campplus
+        vc = self.vc
+        vocoder = self.vocoder
+        n_mels = self.n_mels
+        context = self.context
+        source_window = self.source_window
+
+        @jax.jit
+        def whisper_fn(params, wave_16k):
+            mel = whisper_log_mel(wave_16k)
+            return whisper.apply({"params": params}, mel)
+
+        @jax.jit
+        def style_fn(params, fbank_feat):
+            return campplus.apply({"params": params}, fbank_feat)
+
+        @partial(jax.jit, static_argnames=("target_len",))
+        def regulate_fn(params, s, ylens, target_len):
+            out, _ = vc.apply({"params": params}, s, ylens, target_len,
+                              method=vc.regulate)
+            return out
+
+        @partial(jax.jit, static_argnames=("n_steps", "cfg_rate"))
+        def sample_fn(params, key, cond_cat, total_len, prompt_mel, prompt_len,
+                      style, n_steps, cfg_rate):
+            def estimate(x, p, l, t, s, m):
+                return vc.apply({"params": params}, x, p, l, t, s, m,
+                                method=vc.estimate)
+
+            return euler_solve(
+                estimate, key, cond_cat, total_len, prompt_mel, prompt_len,
+                style, n_mels=n_mels, n_timesteps=n_steps, cfg_rate=cfg_rate)
+
+        @jax.jit
+        def vocode_fn(params, mel_chunk):
+            return vocoder.apply({"params": params}, mel_chunk)
+
+        self._whisper_fn = whisper_fn
+        self._style_fn = style_fn
+        self._regulate_fn = regulate_fn
+        self._sample_fn = sample_fn
+        self._vocode_fn = vocode_fn
+
+    # ------------------------------------------------------------------
+    def semantic_features(self, wave_16k: np.ndarray) -> jax.Array:
+        """Whisper features at 50 Hz with 30 s chunking (5 s overlap).
+
+        Every window is zero-padded to the full 30 s before the jitted
+        encoder call, so the whisper program compiles exactly once
+        (zero-padding is what the HF feature extractor does anyway)."""
+        chunk = 30 * 16000
+        overlap = 5 * 16000
+        T = wave_16k.shape[-1]
+
+        def encode(piece: np.ndarray) -> jax.Array:
+            padded = np.zeros(chunk, np.float32)
+            padded[: len(piece)] = piece
+            feats = self._whisper_fn(self.whisper_params, jnp.asarray(padded[None]))
+            return feats[:, : len(piece) // 320 + 1]
+
+        if T <= chunk:
+            return encode(wave_16k)
+        outs = []
+        start = 0
+        while start < T:
+            piece = wave_16k[start: start + chunk]
+            feats = encode(piece)
+            if start == 0:
+                outs.append(feats)
+            else:
+                outs.append(feats[:, 50 * 5:])  # drop overlapped 250 frames
+            if start + chunk >= T:
+                break
+            start += chunk - overlap
+        return jnp.concatenate(outs, axis=1)
+
+    def _mel_bucketed(self, wave: np.ndarray) -> jax.Array:
+        """Mel with the waveform padded to 5 s buckets -> few compiles."""
+        bucket = 5 * self.sr
+        n_frames = len(wave) // self.hop
+        padded_len = -(-len(wave) // bucket) * bucket
+        padded = np.zeros(padded_len, np.float32)
+        padded[: len(wave)] = wave
+        mel = self.mel_fn(jnp.asarray(padded[None]))
+        return mel[:, :n_frames]
+
+    def _regulate_bucketed(self, s: jax.Array, true_len: int) -> jax.Array:
+        """Length-regulate with the target length padded to 256-frame
+        buckets (masked by ylens) -> few compiles."""
+        bucket_len = -(-true_len // 256) * 256
+        out = self._regulate_fn(self.vc_params, s, jnp.array([true_len]),
+                                bucket_len)
+        return out[:, :true_len]
+
+    def compute_style(self, wave_16k: np.ndarray) -> jax.Array:
+        feat = kaldi_fbank(jnp.asarray(wave_16k[None]))
+        feat = feat - feat.mean(axis=1, keepdims=True)
+        return self._style_fn(self.campplus_params, feat)
+
+    # ------------------------------------------------------------------
+    def convert(
+        self,
+        source: np.ndarray,
+        source_sr: int,
+        reference: np.ndarray,
+        reference_sr: int,
+        *,
+        diffusion_steps: int = 25,
+        length_adjust: float = 1.0,
+        cfg_rate: float = 0.7,
+        seed: int = 0,
+    ) -> tuple[int, np.ndarray, dict]:
+        """Returns (sr, waveform, stats)."""
+        t_start = time.time()
+        src = np.asarray(resample(jnp.asarray(source), source_sr, self.sr))
+        ref = np.asarray(resample(jnp.asarray(reference), reference_sr, self.sr))
+        src_16k = np.asarray(resample(jnp.asarray(source), source_sr, 16000))
+        ref_16k = np.asarray(resample(jnp.asarray(reference), reference_sr, 16000))
+
+        # Cap the reference prompt (prompt_cap frames of mel).
+        max_ref = self.prompt_cap * self.hop
+        ref = ref[:max_ref]
+        ref_16k = ref_16k[: int(len(ref) / self.sr * 16000)]
+
+        s_alt = self.semantic_features(src_16k)
+        s_ori = self.semantic_features(ref_16k)
+
+        mel2 = self._mel_bucketed(ref)  # (1, P, n_mels)
+        p_len = mel2.shape[1]
+        src_mel_len = len(src) // self.hop
+        target_len = int(src_mel_len * length_adjust)
+
+        style = self.compute_style(ref_16k)
+
+        cond = self._regulate_bucketed(s_alt, target_len)
+        prompt_cond = self._regulate_bucketed(s_ori, p_len)
+
+        # Static context: [prompt (p_len) ‖ source chunk (<= source_window)]
+        # padded to self.context frames.
+        prompt_mel_pad = np.zeros((1, self.context, self.n_mels), np.float32)
+        prompt_mel_pad[:, :p_len] = np.asarray(mel2)
+
+        W = self.source_window
+        chunks_out = []
+        prev_tail: Optional[np.ndarray] = None
+        overlap_wave = OVERLAP_FRAMES * self.hop
+        processed = 0
+        n_chunks = 0
+        cond_np = np.asarray(cond)
+        key = jax.random.PRNGKey(seed)
+        while processed < target_len:
+            chunk = cond_np[:, processed: processed + W]
+            w = chunk.shape[1]
+            is_last = processed + W >= target_len
+
+            cat = np.zeros((1, self.context,
+                            self.cfg.model_params.length_regulator.channels),
+                           np.float32)
+            cat[:, :p_len] = np.asarray(prompt_cond)
+            cat[:, p_len: p_len + w] = chunk
+
+            key, sub = jax.random.split(key)
+            mel_out = self._sample_fn(
+                self.vc_params, sub, jnp.asarray(cat),
+                jnp.array([p_len + w]), jnp.asarray(prompt_mel_pad),
+                p_len, style, diffusion_steps, cfg_rate)
+            # Generated region: frames [p_len, p_len + w).
+            gen = jax.lax.dynamic_slice(
+                mel_out, (0, p_len, 0), (1, W, self.n_mels))
+            wave = np.asarray(self._vocode_fn(self.vocoder_params, gen))[0]
+            wave = wave[: w * self.hop]
+
+            n_chunks += 1
+            if prev_tail is None:
+                if is_last:
+                    chunks_out.append(wave)
+                else:
+                    chunks_out.append(wave[:-overlap_wave])
+                    prev_tail = wave[-overlap_wave:]
+            elif is_last:
+                chunks_out.append(cosine_crossfade(prev_tail, wave, overlap_wave))
+            else:
+                chunks_out.append(
+                    cosine_crossfade(prev_tail, wave[:-overlap_wave], overlap_wave))
+                prev_tail = wave[-overlap_wave:]
+            processed += w if is_last else (w - OVERLAP_FRAMES)
+
+        out = np.concatenate(chunks_out)
+        dt = time.time() - t_start
+        stats = {
+            "rtf": dt / (len(out) / self.sr),
+            "audio_seconds": len(out) / self.sr,
+            "wall_seconds": dt,
+            "chunks": n_chunks,
+        }
+        return self.sr, out, stats

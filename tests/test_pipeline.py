@@ -1,0 +1,74 @@
+"""End-to-end offline conversion pipeline test (tiny random models)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seedvc_tpu.core.config import (
+    DiTConfig, LengthRegulatorConfig, ModelParams, PreprocessConfig,
+    SeedVCConfig, SpectConfig, WavenetConfig)
+from seedvc_tpu.dsp.resample import resample
+from seedvc_tpu.models.whisper import WhisperEncoderConfig
+from seedvc_tpu.pipelines.convert import VoiceConverter, cosine_crossfade
+
+
+def tiny_cfg() -> SeedVCConfig:
+    return SeedVCConfig(
+        preprocess_params=PreprocessConfig(
+            sr=22050,
+            spect_params=SpectConfig(n_fft=1024, win_length=1024,
+                                     hop_length=256, n_mels=80)),
+        model_params=ModelParams(
+            length_regulator=LengthRegulatorConfig(
+                channels=32, is_discrete=False, in_channels=48,
+                sampling_ratios=(1,)),
+            DiT=DiTConfig(hidden_dim=32, num_heads=4, depth=2, in_channels=80,
+                          final_layer_type="mlp", content_dim=32,
+                          long_skip_connection=False,
+                          uvit_skip_connection=False),
+            wavenet=WavenetConfig(hidden_dim=32, num_layers=1),
+        ),
+    )
+
+
+def test_resample_sine_preserved():
+    sr1, sr2 = 22050, 16000
+    t = np.arange(sr1) / sr1
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y = np.asarray(resample(jnp.asarray(x), sr1, sr2))
+    assert abs(len(y) - sr2) <= 1
+    # dominant frequency still 440 Hz
+    spec = np.abs(np.fft.rfft(y[:sr2]))
+    peak = np.argmax(spec)
+    assert abs(peak - 440) <= 2
+    # energy preserved within a few percent
+    assert abs(np.std(y[100:-100]) - np.std(x)) < 0.05
+
+
+def test_crossfade_endpoints():
+    a = np.ones(100, np.float32)
+    b = np.zeros(100, np.float32)
+    out = cosine_crossfade(a, b, 20)
+    assert out[0] == pytest.approx(1.0, abs=1e-6)
+    assert out[19] == pytest.approx(0.0, abs=1e-3)
+    assert (out[20:] == 0).all()
+
+
+@pytest.mark.slow
+def test_pipeline_end_to_end():
+    cfg = tiny_cfg()
+    wcfg = WhisperEncoderConfig(d_model=48, n_layers=1, n_heads=4, ffn_dim=96)
+    converter = VoiceConverter(
+        cfg, whisper_cfg=wcfg, prompt_cap_frames=64, context_frames=192)
+
+    rng = np.random.default_rng(0)
+    src = (rng.standard_normal(22050 * 2) * 0.1).astype(np.float32)  # 2 s
+    ref = (rng.standard_normal(22050) * 0.1).astype(np.float32)      # 1 s
+
+    sr, wave, stats = converter.convert(src, 22050, ref, 22050,
+                                        diffusion_steps=2)
+    assert sr == 22050
+    assert np.isfinite(wave).all()
+    # roughly the source duration (crossfade trims a bit)
+    assert abs(len(wave) - len(src)) < 22050 * 0.5
+    assert stats["chunks"] >= 1
