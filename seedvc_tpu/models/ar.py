@@ -1,0 +1,379 @@
+"""v2 AR token-to-token transformer with TPU-native incremental decode.
+
+Re-design of ``modules/v2/ar.py`` (gpt-fast style NaiveTransformer/
+NaiveWrapper): decoder-only LM (768d/12L/12H, GQA with 2 KV heads, vocab
+2049 = 2048 wide codes + EOS) over sequences
+
+    [sep ‖ cond(narrow embeds) ‖ sep ‖ target wide tokens]
+
+with per-segment restarting RoPE positions (``ar.py:339-363``) and global KV
+positions.  The reference decodes with a Python loop over
+``forward_generate`` + KV-cache mutation (``ar.py:404-421``); here decode is
+ONE compiled ``lax.while_loop`` with:
+
+- explicit KV cache arrays (functional update via dynamic_update_slice),
+- top-p + repetition-penalty + temperature sampling (``ar.py:730-763``)
+  using a per-vocab presence buffer for the penalty and the exponential-race
+  trick for multinomial sampling (``ar.py:723-727``),
+- EOS suppressed for the first 10 tokens (``vc_wrapper`` behaviour,
+  ``ar.py:405``), loop exits on EOS or max_new_tokens.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from seedvc_tpu.nn.layers import RMSNorm, apply_rope, rope_cache
+
+
+@dataclass(frozen=True)
+class ARConfig:
+    dim: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    n_local_heads: int = 2
+    head_dim: int = 64
+    intermediate_size: int = 2304
+    vocab_size: int = 2049
+    rope_base: float = 10000.0
+    norm_eps: float = 1e-5
+    max_seq_len: int = 4096
+
+    @property
+    def eos(self) -> int:
+        return self.vocab_size - 1
+
+
+class ARAttention(nn.Module):
+    cfg: ARConfig
+
+    @nn.compact
+    def __call__(self, x, freqs, mask, kv_write_pos=None, k_cache=None,
+                 v_cache=None):
+        """x: (B, S, D); freqs: (B, S, hd//2, 2) per-position rope.
+
+        Full-sequence mode (kv_write_pos None): standard attention with mask.
+        Decode mode: S==1; k/v written into caches at kv_write_pos; attention
+        over the whole cache with `mask` (B, 1, 1, max_seq).
+        Returns (out, k_cache, v_cache).
+        """
+        c = self.cfg
+        B, S, _ = x.shape
+        kv_size = c.n_local_heads * c.head_dim
+        qkv = nn.Dense((c.n_head + 2 * c.n_local_heads) * c.head_dim,
+                       use_bias=False, name="wqkv", dtype=x.dtype)(x)
+        q, k, v = jnp.split(qkv, [c.n_head * c.head_dim,
+                                  c.n_head * c.head_dim + kv_size], axis=-1)
+        q = q.reshape(B, S, c.n_head, c.head_dim)
+        k = k.reshape(B, S, c.n_local_heads, c.head_dim)
+        v = v.reshape(B, S, c.n_local_heads, c.head_dim)
+
+        q = _apply_rope_batched(q, freqs)
+        k = _apply_rope_batched(k, freqs)
+
+        if kv_write_pos is not None:
+            # decode: write this step's k/v into the cache.
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k, (0, kv_write_pos, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v, (0, kv_write_pos, 0, 0))
+            k_all, v_all = k_cache, v_cache
+        else:
+            k_all, v_all = k, v
+
+        rep = c.n_head // c.n_local_heads
+        k_all = jnp.repeat(k_all, rep, axis=2)
+        v_all = jnp.repeat(v_all, rep, axis=2)
+
+        scale = c.head_dim ** -0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_all,
+                            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v_all,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.reshape(B, S, c.n_head * c.head_dim)
+        out = nn.Dense(c.dim, use_bias=False, name="wo", dtype=x.dtype)(out)
+        return out, k_cache, v_cache
+
+
+def _apply_rope_batched(x, freqs):
+    """x: (B, S, H, D); freqs: (B, S, D//2, 2) — per-batch positions."""
+    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+    cos = freqs[:, :, None, :, 0]
+    sin = freqs[:, :, None, :, 1]
+    out = jnp.stack(
+        [xf[..., 0] * cos - xf[..., 1] * sin,
+         xf[..., 1] * cos + xf[..., 0] * sin], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+class ARBlock(nn.Module):
+    cfg: ARConfig
+
+    @nn.compact
+    def __call__(self, x, freqs, mask, kv_write_pos=None, k_cache=None,
+                 v_cache=None):
+        c = self.cfg
+        h = RMSNorm(c.dim, c.norm_eps, name="attention_norm")(x)
+        attn, k_cache, v_cache = ARAttention(c, name="attention")(
+            h, freqs, mask, kv_write_pos, k_cache, v_cache)
+        x = x + attn
+        h = RMSNorm(c.dim, c.norm_eps, name="ffn_norm")(x)
+        h1 = nn.Dense(c.intermediate_size, use_bias=False, name="feed_forward_w1",
+                      dtype=x.dtype)(h)
+        h3 = nn.Dense(c.intermediate_size, use_bias=False, name="feed_forward_w3",
+                      dtype=x.dtype)(h)
+        h = nn.Dense(c.dim, use_bias=False, name="feed_forward_w2",
+                     dtype=x.dtype)(nn.silu(h1) * h3)
+        return x + h, k_cache, v_cache
+
+
+class ARTransformer(nn.Module):
+    cfg: ARConfig
+
+    def setup(self):
+        c = self.cfg
+        self.embeddings = nn.Embed(c.vocab_size, c.dim, name="embeddings")
+        self.blocks = [ARBlock(c, name=f"layers_{i}") for i in range(c.n_layer)]
+        self.norm = RMSNorm(c.dim, c.norm_eps, name="norm")
+        self.output = nn.Dense(c.vocab_size, use_bias=False, name="output")
+        self.sep_token = self.param("sep_token_emb",
+                                    nn.initializers.normal(1.0), (c.dim,))
+
+    def _freqs(self, input_pos):
+        """input_pos: (B, S) -> (B, S, hd//2, 2)."""
+        table = jnp.asarray(rope_cache(self.cfg.max_seq_len, self.cfg.head_dim,
+                                       self.cfg.rope_base))
+        return table[input_pos]
+
+    def embed_tokens(self, tokens):
+        return self.embeddings(tokens)
+
+    def init_all(self, tokens, input_pos, attn_mask):
+        """Init entry point touching every submodule (setup-lazy params are
+        only created for code paths exercised during init)."""
+        emb = self.embed_tokens(tokens) + self.sep_token
+        return self(emb, input_pos, attn_mask)
+
+    def __call__(self, emb_seq, input_pos, attn_mask):
+        """Full-sequence forward (training / prefill without cache).
+
+        emb_seq: (B, S, D); input_pos: (B, S); attn_mask: (B, 1, S, S) bool.
+        Returns logits (B, S, vocab).
+        """
+        freqs = self._freqs(input_pos)
+        x = emb_seq
+        for blk in self.blocks:
+            x, _, _ = blk(x, freqs, attn_mask)
+        return self.output(self.norm(x))
+
+    def prefill(self, emb_seq, input_pos, attn_mask, k_caches, v_caches):
+        """Full-sequence forward that also fills the KV caches.
+
+        k_caches/v_caches: (L, B, max_seq, n_kv, hd).  Returns
+        (logits_last (B, vocab), k_caches, v_caches)."""
+        freqs = self._freqs(input_pos)
+        x = emb_seq
+        new_k, new_v = [], []
+        for i, blk in enumerate(self.blocks):
+            x, kc, vc = blk(x, freqs, attn_mask, kv_write_pos=0,
+                            k_cache=k_caches[i], v_cache=v_caches[i])
+            new_k.append(kc)
+            new_v.append(vc)
+        logits = self.output(self.norm(x[:, -1]))
+        return logits, jnp.stack(new_k), jnp.stack(new_v)
+
+    def decode_step(self, x_emb, input_pos, kv_pos, k_caches, v_caches):
+        """One-token decode.  x_emb: (B, 1, D); input_pos/kv_pos: (B,)/scalar.
+
+        Attention mask: positions <= kv_pos valid (causal over global kv).
+        Returns (logits (B, vocab), k_caches, v_caches)."""
+        c = self.cfg
+        freqs = self._freqs(input_pos[:, None])
+        valid = jnp.arange(c.max_seq_len)[None, None, None, :] <= kv_pos
+        x = x_emb
+        new_k, new_v = [], []
+        for i, blk in enumerate(self.blocks):
+            x, kc, vc = blk(x, freqs, valid, kv_write_pos=kv_pos,
+                            k_cache=k_caches[i], v_cache=v_caches[i])
+            new_k.append(kc)
+            new_v.append(vc)
+        logits = self.output(self.norm(x[:, 0]))
+        return logits, jnp.stack(new_k), jnp.stack(new_v)
+
+
+def sample_token(key, logits, presence, *, temperature=0.7, top_p=0.7,
+                 repetition_penalty=1.5, suppress_eos=False, eos=2048):
+    """Reference ``logits_to_probs`` + exponential-race multinomial
+    (``ar.py:723-763``).  logits: (vocab,); presence: (vocab,) bool."""
+    penal = jnp.where(logits < 0, logits * repetition_penalty,
+                      logits / repetition_penalty)
+    logits = jnp.where(presence, penal, logits)
+    logits = jnp.where(
+        (jnp.arange(logits.shape[0]) == eos) & suppress_eos,
+        -jnp.inf, logits)
+
+    # top-p on the pre-temperature distribution (reference order).
+    sort_idx = jnp.argsort(-logits)
+    sorted_logits = logits[sort_idx]
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits), axis=-1)
+    remove_sorted = cum > top_p
+    remove_sorted = remove_sorted.at[0].set(False)
+    remove = jnp.zeros_like(remove_sorted).at[sort_idx].set(remove_sorted)
+    logits = jnp.where(remove, -jnp.inf, logits)
+
+    logits = logits / jnp.maximum(temperature, 1e-5)
+    probs = jax.nn.softmax(logits)
+    q = jax.random.exponential(key, probs.shape)
+    return jnp.argmax(probs / q).astype(jnp.int32)
+
+
+class DecodeState(NamedTuple):
+    step: jax.Array         # tokens generated so far
+    kv_pos: jax.Array       # next kv write position
+    input_pos: jax.Array    # next rope position (restarting segment)
+    last_token: jax.Array
+    tokens: jax.Array       # (max_new,) output buffer
+    presence: jax.Array     # (vocab,) bool, for repetition penalty
+    k_caches: jax.Array
+    v_caches: jax.Array
+    key: jax.Array
+    done: jax.Array
+
+
+def make_generate_fn(model: ARTransformer, max_new_tokens: int = 1024,
+                     temperature: float = 0.7, top_p: float = 0.7,
+                     repetition_penalty: float = 1.5):
+    """Build a jittable generate(params, cond_emb, cond_len, prompt_tokens,
+    prompt_len) -> (tokens, n_tokens).
+
+    cond_emb: (1, C_max, D) narrow-token embeddings (regulated), padded;
+    prompt_tokens: (1, P_max) target-prefix wide tokens, padded.
+    Sequence layout matches the reference generate (``ar.py:382-421``):
+    [sep ‖ cond ‖ sep ‖ prompt_target] with rope positions restarting at the
+    second sep; kv positions are global.
+    """
+    cfg = model.cfg
+
+    def generate(params, cond_emb, cond_len, prompt_tokens, prompt_len, key):
+        B, C_max, D = cond_emb.shape
+        P_max = prompt_tokens.shape[1]
+        S_max = cfg.max_seq_len
+
+        apply = partial(model.apply, params)
+        sep = apply(method=lambda m: m.sep_token)  # (D,)
+        tok_emb = apply(prompt_tokens, method=model.embed_tokens)  # (1,P,D)
+
+        # Build the packed prefill sequence of static length 2 + C_max + P_max.
+        # Valid layout: [sep, cond[:cond_len], sep, tok_emb[:prompt_len]].
+        L_pre = 2 + C_max + P_max
+        idx = jnp.arange(L_pre)
+        # position of second sep = cond_len + 1
+        second_sep = cond_len + 1
+        # gather source: for i < 1 -> sep; 1 <= i < 1+cond_len -> cond[i-1];
+        # i == second_sep -> sep; else tok_emb[i - cond_len - 2]
+        cond_gather = jnp.clip(idx - 1, 0, C_max - 1)
+        tok_gather = jnp.clip(idx - second_sep - 1, 0, P_max - 1)
+        emb = jnp.where(
+            ((idx == 0) | (idx == second_sep))[None, :, None], sep[None, None, :],
+            jnp.where((idx < second_sep)[None, :, None],
+                      cond_emb[:, cond_gather],
+                      tok_emb[:, tok_gather]))
+        # rope positions: arange for segment 1, restart at second sep:
+        # reference: [0..cond_len] ‖ [0] ‖ [1..prompt_len] (ar.py:414-419)
+        pos = jnp.where(idx <= cond_len, idx, idx - second_sep)
+        valid_len = 2 + cond_len + prompt_len
+        kv_idx = idx  # global kv positions
+
+        # prefill causal mask: queries are the L_pre packed positions, keys
+        # span the full cache (decode-mode attention reads all S_max slots).
+        keys = jnp.arange(S_max)
+        mask = ((keys[None, :] <= kv_idx[:, None]) &
+                (keys[None, :] < valid_len))[None, None]
+
+        k0 = jnp.zeros((cfg.n_layer, B, S_max, cfg.n_local_heads, cfg.head_dim),
+                       jnp.float32)
+        v0 = jnp.zeros_like(k0)
+
+        # Prefill writes k/v for ALL L_pre positions; entries beyond
+        # valid_len are junk but each decode step overwrites position kv_pos
+        # before any read can see it (the causal mask admits pos <= kv_pos,
+        # all of which hold real data by then).
+        _, kc, vc = apply(emb, jnp.broadcast_to(pos[None], (B, L_pre)),
+                          mask, k0, v0, method=model.prefill)
+        # Prefill's final-row logits belong to a padding slot when
+        # valid_len < L_pre, so take one decode step at the true last valid
+        # token to get its logits (idempotent cache write at valid_len-1).
+        last_emb = jnp.take_along_axis(
+            emb, jnp.broadcast_to((valid_len - 1).astype(jnp.int32)[None, None, None],
+                                  (B, 1, D)), axis=1)
+        last_rope = _last_rope_pos(cond_len, prompt_len)
+        logits, kc, vc = apply(last_emb, jnp.full((B,), last_rope, jnp.int32),
+                               valid_len - 1, kc, vc, method=model.decode_step)
+
+        presence0 = jnp.zeros((cfg.vocab_size,), bool)
+        # mark prompt target tokens as seen? reference passes only generated
+        # tokens as previous_tokens -> start empty.
+        tokens0 = jnp.zeros((max_new_tokens,), jnp.int32)
+
+        key, sub = jax.random.split(key)
+        first_tok = sample_token(sub, logits[0], presence0,
+                                 temperature=temperature, top_p=top_p,
+                                 repetition_penalty=repetition_penalty,
+                                 suppress_eos=True, eos=cfg.eos)
+        state = DecodeState(
+            step=jnp.asarray(1, jnp.int32),
+            kv_pos=valid_len.astype(jnp.int32),
+            input_pos=(_last_rope_pos(cond_len, prompt_len) + 1).astype(jnp.int32),
+            last_token=first_tok,
+            tokens=tokens0.at[0].set(first_tok),
+            presence=presence0.at[first_tok].set(True),
+            k_caches=kc, v_caches=vc, key=key,
+            done=jnp.asarray(False),
+        )
+
+        def cond_fn(s: DecodeState):
+            return (~s.done) & (s.step < max_new_tokens)
+
+        def body_fn(s: DecodeState):
+            emb1 = apply(s.last_token[None, None], method=model.embed_tokens)
+            logits, kc, vc = apply(
+                emb1, jnp.full((B,), s.input_pos, jnp.int32), s.kv_pos,
+                s.k_caches, s.v_caches, method=model.decode_step)
+            key, sub = jax.random.split(s.key)
+            tok = sample_token(sub, logits[0], s.presence,
+                               temperature=temperature, top_p=top_p,
+                               repetition_penalty=repetition_penalty,
+                               suppress_eos=s.step < 10, eos=cfg.eos)
+            is_eos = tok == cfg.eos
+            tokens = jnp.where(is_eos, s.tokens, s.tokens.at[s.step].set(tok))
+            return DecodeState(
+                step=s.step + jnp.where(is_eos, 0, 1),
+                kv_pos=s.kv_pos + 1,
+                input_pos=s.input_pos + 1,
+                last_token=tok,
+                tokens=tokens,
+                presence=jnp.where(is_eos, s.presence,
+                                   s.presence.at[tok].set(True)),
+                k_caches=kc, v_caches=vc, key=key,
+                done=is_eos,
+            )
+
+        final = jax.lax.while_loop(cond_fn, body_fn, state)
+        return final.tokens, final.step
+
+    return generate
+
+
+def _last_rope_pos(cond_len, prompt_len):
+    """Rope position of the last valid token: prompt tokens occupy restarted
+    positions 1..prompt_len (position 0 is the second sep); if prompt empty,
+    the last token is the second sep at restarted position 0."""
+    return jnp.where(prompt_len > 0, prompt_len, 0).astype(jnp.int32)

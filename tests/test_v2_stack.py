@@ -1,0 +1,174 @@
+"""v2 stack tests: AdaLN-Zero DiT, multi-cond CFG, ConvNeXtV2, BSQ, AR."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seedvc_tpu.models.ar import ARConfig, ARTransformer, make_generate_fn
+from seedvc_tpu.models.cfm_v2 import cfm_v2_loss, euler_solve_multicfg
+from seedvc_tpu.models.dit_v2 import DiTV2, DiTV2Config
+from seedvc_tpu.nn.bsq import BSQ, duration_reduction
+from seedvc_tpu.nn.convnext import ConvNeXtV2Stage
+
+REF = "/root/reference"
+
+
+def tiny_dit_cfg():
+    return DiTV2Config(hidden_dim=64, depth=2, num_heads=4, in_channels=8,
+                       content_dim=16, style_encoder_dim=24)
+
+
+def test_dit_v2_shapes_and_cfg_modes():
+    cfg = tiny_dit_cfg()
+    model = DiTV2(cfg)
+    B, T = 1, 12
+    x = jnp.zeros((B, T, 8))
+    cond = jnp.zeros((B, T, 16))
+    style = jnp.zeros((B, 24))
+    lens = jnp.array([12])
+    variables = model.init(jax.random.PRNGKey(0), x, x, lens,
+                           jnp.zeros((B,)), style, cond)
+
+    def estimate(xx, p, l, t, s, m):
+        return model.apply(variables, xx, p, l, t, s, m)
+
+    prompt = jnp.zeros((B, T, 8))
+    for rates, random_voice in [((0.5, 0.5), False), ((0.0, 0.5), False),
+                                ((0.5, 0.0), False), ((0.0, 0.0), False),
+                                ((0.5, 0.5), True)]:
+        mel = euler_solve_multicfg(
+            estimate, jax.random.PRNGKey(1), cond, lens, prompt, 4, style,
+            n_mels=8, n_timesteps=2, cfg_rates=rates, random_voice=random_voice)
+        assert mel.shape == (B, T, 8)
+        assert np.isfinite(np.asarray(mel)).all()
+
+    loss = cfm_v2_loss(estimate, jax.random.normal(jax.random.PRNGKey(2), (B, T, 8)),
+                       lens, jnp.array([3]), cond, style,
+                       rng_t=jax.random.PRNGKey(3), rng_noise=jax.random.PRNGKey(4))
+    assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
+def test_convnext_parity():
+    import torch
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from modules.astral_quantization.convnext import ConvNeXtV2Stage as TorchStage
+
+    torch.manual_seed(0)
+    tm = TorchStage(dim=32, intermediate_dim=96, num_blocks=3, dilation=1,
+                    input_dim=24).eval()
+    model = ConvNeXtV2Stage(dim=32, intermediate_dim=96, num_blocks=3,
+                            dilation=1, input_dim=24)
+
+    from seedvc_tpu.convert.torch_utils import _np, conv1d_kernel
+
+    sd = tm.state_dict()
+    params = {"input_projection": {"kernel": conv1d_kernel(sd["input_projection.weight"]),
+                                   "bias": _np(sd["input_projection.bias"])}}
+    for i in range(3):
+        t = f"blocks.{i}"
+        params[f"blocks_{i}"] = {
+            "dwconv": {"kernel": conv1d_kernel(sd[f"{t}.dwconv.weight"]),
+                       "bias": _np(sd[f"{t}.dwconv.bias"])},
+            "norm": {"scale": _np(sd[f"{t}.norm.weight"]),
+                     "bias": _np(sd[f"{t}.norm.bias"])},
+            "pwconv1": {"kernel": _np(sd[f"{t}.pwconv1.weight"]).T,
+                        "bias": _np(sd[f"{t}.pwconv1.bias"])},
+            "pwconv2": {"kernel": _np(sd[f"{t}.pwconv2.weight"]).T,
+                        "bias": _np(sd[f"{t}.pwconv2.bias"])},
+            "grn": {"gamma": _np(sd[f"{t}.grn.gamma"]),
+                    "beta": _np(sd[f"{t}.grn.beta"])},
+        }
+
+    x = np.random.default_rng(1).standard_normal((1, 24, 50)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()  # (B, C, T)
+    ours = np.asarray(model.apply({"params": params},
+                                  jnp.asarray(x.transpose(0, 2, 1))))
+    np.testing.assert_allclose(ours.transpose(0, 2, 1), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_bsq_quantize_and_indices():
+    model = BSQ(dim=32, codebook_size=256)  # 8 bits
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 32))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    out, indices, aux = model.apply(variables, x)
+    assert out.shape == (2, 10, 32)
+    assert indices.shape == (2, 10)
+    assert int(indices.max()) < 256 and int(indices.min()) >= 0
+    # quantized output depends only on sign pattern -> same input same index
+    out2, indices2, _ = model.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(indices), np.asarray(indices2))
+    # training path returns finite entropy loss
+    _, _, aux = model.apply(variables, x, training=True)
+    assert np.isfinite(float(aux))
+
+
+def test_duration_reduction():
+    toks = np.array([5, 5, 5, 2, 2, 7, 5, 5])
+    out, n = duration_reduction(toks)
+    np.testing.assert_array_equal(out, [5, 2, 7, 5])
+    assert n == 4
+
+
+@pytest.mark.slow
+def test_ar_decode_matches_full_forward():
+    """KV-cache decode must produce the same logits as a full forward."""
+    cfg = ARConfig(dim=64, n_layer=2, n_head=4, n_local_heads=2, head_dim=16,
+                   intermediate_size=128, vocab_size=33, max_seq_len=64)
+    model = ARTransformer(cfg)
+    key = jax.random.PRNGKey(0)
+    S = 10
+    emb0 = jax.random.normal(jax.random.PRNGKey(1), (1, S, 64))
+    pos = jnp.arange(S)[None]
+    causal = jnp.tril(jnp.ones((S, S), bool))[None, None]
+    variables = model.init(key, emb0, pos, causal)
+
+    full_logits = model.apply(variables, emb0, pos, causal)
+
+    # same sequence via prefill(first 6) + decode steps (next 4)
+    k0 = jnp.zeros((2, 1, 64, 2, 16))
+    v0 = jnp.zeros_like(k0)
+    P = 6
+    keys_idx = jnp.arange(64)
+    mask_pre = ((keys_idx[None, :] <= jnp.arange(P)[:, None]) &
+                (keys_idx[None, :] < P))[None, None]
+    _, kc, vc = model.apply(variables, emb0[:, :P], pos[:, :P], mask_pre,
+                            k0, v0, method=model.prefill)
+    logits_steps = []
+    for i in range(P, S):
+        lg, kc, vc = model.apply(variables, emb0[:, i:i+1],
+                                 jnp.array([i]), jnp.asarray(i), kc, vc,
+                                 method=model.decode_step)
+        logits_steps.append(lg)
+    for i, lg in enumerate(logits_steps):
+        np.testing.assert_allclose(np.asarray(lg[0]),
+                                   np.asarray(full_logits[0, P + i]),
+                                   atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_ar_generate_runs():
+    cfg = ARConfig(dim=64, n_layer=2, n_head=4, n_local_heads=2, head_dim=16,
+                   intermediate_size=128, vocab_size=33, max_seq_len=128)
+    model = ARTransformer(cfg)
+    toks0 = jnp.zeros((1, 4), jnp.int32)
+    pos = jnp.arange(4)[None]
+    causal = jnp.tril(jnp.ones((4, 4), bool))[None, None]
+    variables = model.init(jax.random.PRNGKey(0), toks0, pos, causal,
+                           method=model.init_all)
+
+    gen = make_generate_fn(model, max_new_tokens=16)
+    cond_emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 64))
+    prompt_tokens = jnp.array([[1, 2, 3, 0]])
+    tokens, n = gen(variables, cond_emb, jnp.asarray(6), prompt_tokens,
+                    jnp.asarray(3), jax.random.PRNGKey(2))
+    n = int(n)
+    assert 1 <= n <= 16
+    toks = np.asarray(tokens)[:n]
+    assert (toks >= 0).all() and (toks < 33).all()
