@@ -68,6 +68,7 @@ class VoiceConverter:
         whisper_params=None,
         campplus_params=None,
         vocoder_params=None,
+        rmvpe_params=None,
         prompt_cap_frames: int = 768,
         context_frames: Optional[int] = None,
         compute_dtype=jnp.float32,
@@ -120,6 +121,16 @@ class VoiceConverter:
             )["params"]
         self.vc_params = vc_params
 
+        self.f0_condition = self.cfg.model_params.DiT.f0_condition
+        self.rmvpe = None
+        if self.f0_condition:
+            from seedvc_tpu.models.rmvpe import RMVPE, RMVPE_E2E
+
+            if rmvpe_params is None:
+                rmvpe_params = jax.jit(RMVPE_E2E().init)(
+                    jax.random.split(key, 5)[-1], jnp.zeros((1, 32, 128)))["params"]
+            self.rmvpe = RMVPE(rmvpe_params)
+
         voc_cfg = BIGVGAN_44K_128 if self.n_mels == 128 else BIGVGAN_22K_80
         self.vocoder = BigVGAN(voc_cfg)
         if vocoder_params is None:
@@ -149,8 +160,8 @@ class VoiceConverter:
             return campplus.apply({"params": params}, fbank_feat)
 
         @partial(jax.jit, static_argnames=("target_len",))
-        def regulate_fn(params, s, ylens, target_len):
-            out, _ = vc.apply({"params": params}, s, ylens, target_len,
+        def regulate_fn(params, s, ylens, target_len, f0=None):
+            out, _ = vc.apply({"params": params}, s, ylens, target_len, f0,
                               method=vc.regulate)
             return out
 
@@ -218,13 +229,36 @@ class VoiceConverter:
         mel = self.mel_fn(jnp.asarray(padded[None]))
         return mel[:, :n_frames]
 
-    def _regulate_bucketed(self, s: jax.Array, true_len: int) -> jax.Array:
+    def _regulate_bucketed(self, s: jax.Array, true_len: int,
+                           f0=None) -> jax.Array:
         """Length-regulate with the target length padded to 256-frame
         buckets (masked by ylens) -> few compiles."""
         bucket_len = -(-true_len // 256) * 256
         out = self._regulate_fn(self.vc_params, s, jnp.array([true_len]),
-                                bucket_len)
+                                bucket_len, f0)
         return out[:, :true_len]
+
+    def extract_f0(self, src_16k: np.ndarray, ref_16k: np.ndarray, *,
+                   auto_f0_adjust: bool = True, pitch_shift: float = 0.0):
+        """RMVPE F0 + median-log matching + semitone shift
+        (reference ``inference.py:432-455``)."""
+        f0_ori = self.rmvpe.infer_from_audio_batch(ref_16k[None])[0]
+        f0_alt = self.rmvpe.infer_from_audio_batch(src_16k[None])[0]
+        voiced_alt = f0_alt > 1
+        voiced_ori = f0_ori > 1
+        shifted = f0_alt.copy()
+        if auto_f0_adjust and voiced_alt.any() and voiced_ori.any():
+            log_alt = np.log(f0_alt + 1e-5)
+            med_ori = np.median(np.log(f0_ori[voiced_ori] + 1e-5))
+            med_alt = np.median(np.log(f0_alt[voiced_alt] + 1e-5))
+            shifted_log = log_alt.copy()
+            shifted_log[voiced_alt] = log_alt[voiced_alt] - med_alt + med_ori
+            shifted = np.exp(shifted_log)
+            shifted[~voiced_alt] = f0_alt[~voiced_alt]
+        if pitch_shift != 0:
+            shifted = shifted.copy()
+            shifted[voiced_alt] = shifted[voiced_alt] * 2 ** (pitch_shift / 12)
+        return shifted.astype(np.float32), f0_ori.astype(np.float32)
 
     def compute_style(self, wave_16k: np.ndarray) -> jax.Array:
         feat = kaldi_fbank(jnp.asarray(wave_16k[None]))
@@ -242,6 +276,8 @@ class VoiceConverter:
         diffusion_steps: int = 25,
         length_adjust: float = 1.0,
         cfg_rate: float = 0.7,
+        auto_f0_adjust: bool = True,
+        pitch_shift: float = 0.0,
         seed: int = 0,
     ) -> tuple[int, np.ndarray, dict]:
         """Returns (sr, waveform, stats)."""
@@ -266,8 +302,16 @@ class VoiceConverter:
 
         style = self.compute_style(ref_16k)
 
-        cond = self._regulate_bucketed(s_alt, target_len)
-        prompt_cond = self._regulate_bucketed(s_ori, p_len)
+        f0_alt = f0_ori = None
+        if self.f0_condition:
+            shifted_f0, f0_ori_np = self.extract_f0(
+                src_16k, ref_16k, auto_f0_adjust=auto_f0_adjust,
+                pitch_shift=pitch_shift)
+            f0_alt = jnp.asarray(shifted_f0[None])
+            f0_ori = jnp.asarray(f0_ori_np[None])
+
+        cond = self._regulate_bucketed(s_alt, target_len, f0_alt)
+        prompt_cond = self._regulate_bucketed(s_ori, p_len, f0_ori)
 
         # Static context: [prompt (p_len) ‖ source chunk (<= source_window)]
         # padded to self.context frames.

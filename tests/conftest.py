@@ -21,3 +21,35 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# ---------------------------------------------------------------------------
+# librosa stub: the reference modules imported for golden generation require
+# librosa (not installed).  One functional stub here, shared by every test
+# file, so per-test stubs can't poison each other.
+# ---------------------------------------------------------------------------
+import types  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+
+def _install_librosa_stub():
+    if "librosa" in sys.modules:
+        return
+    from seedvc_tpu.dsp.mel import mel_filterbank
+
+    librosa = types.ModuleType("librosa")
+    librosa.filters = types.ModuleType("librosa.filters")
+    librosa.filters.mel = (
+        lambda *, sr, n_fft, n_mels, fmin=0.0, fmax=None, htk=False, **kw:
+        mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk=htk))
+    librosa.util = types.ModuleType("librosa.util")
+    librosa.util.normalize = lambda x, **kw: x
+    librosa.util.pad_center = lambda data, *, size, **kw: np.pad(
+        data, (int((size - len(data)) // 2),) * 2)
+    librosa.util.tiny = lambda x: np.finfo(np.float32).tiny
+    sys.modules["librosa"] = librosa
+    sys.modules["librosa.filters"] = librosa.filters
+    sys.modules["librosa.util"] = librosa.util
+
+
+_install_librosa_stub()
