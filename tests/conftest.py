@@ -23,17 +23,25 @@ jax.config.update("jax_num_cpu_devices", 8)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # ---------------------------------------------------------------------------
-# librosa stub: the reference modules imported for golden generation require
-# librosa (not installed).  One functional stub here, shared by every test
-# file, so per-test stubs can't poison each other.
+# Scoped librosa stub: reference modules imported for golden generation need
+# librosa (not installed).  The stub must NOT stay in sys.modules — a visible
+# 'librosa' makes transformers think it's available and use it.  Tests call
+# import_reference("modules.foo") which installs the stub, imports, and
+# removes the stub again (imported reference modules keep their references).
 # ---------------------------------------------------------------------------
+import contextlib  # noqa: E402
+import importlib  # noqa: E402
 import types  # noqa: E402
 
 import numpy as np  # noqa: E402
 
+REFERENCE_ROOT = "/root/reference"
 
-def _install_librosa_stub():
+
+@contextlib.contextmanager
+def librosa_stub():
     if "librosa" in sys.modules:
+        yield
         return
     from seedvc_tpu.dsp.mel import mel_filterbank
 
@@ -50,6 +58,17 @@ def _install_librosa_stub():
     sys.modules["librosa"] = librosa
     sys.modules["librosa.filters"] = librosa.filters
     sys.modules["librosa.util"] = librosa.util
+    try:
+        yield
+    finally:
+        for name in ("librosa", "librosa.filters", "librosa.util"):
+            sys.modules.pop(name, None)
 
 
-_install_librosa_stub()
+def import_reference(module_name: str):
+    """Import a /root/reference module (read-only golden source) with the
+    librosa stub active only for the duration of the import."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    with librosa_stub():
+        return importlib.import_module(module_name)

@@ -15,22 +15,9 @@ REF = "/root/reference"
 
 
 def _import_ref():
-    # librosa is not installed; stub the pieces the reference's dataset
-    # module imports (unused by the generator forward pass).
-    import types
+    from conftest import import_reference
 
-    if "librosa" not in sys.modules:
-        librosa = types.ModuleType("librosa")
-        librosa.util = types.ModuleType("librosa.util")
-        librosa.util.normalize = lambda x: x
-        librosa.filters = types.ModuleType("librosa.filters")
-        librosa.filters.mel = lambda **kw: None
-        sys.modules["librosa"] = librosa
-        sys.modules["librosa.util"] = librosa.util
-        sys.modules["librosa.filters"] = librosa.filters
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    import modules.bigvgan.bigvgan as ref_bigvgan
+    ref_bigvgan = import_reference("modules.bigvgan.bigvgan")
     from modules.bigvgan.env import AttrDict
 
     return ref_bigvgan, AttrDict
@@ -70,12 +57,11 @@ def test_snake_matches_reference_formula():
 
 
 def test_up_down_sample_match_torch():
-    sys.path.insert(0, REF)
-    try:
-        from modules.bigvgan.alias_free_activation.torch.resample import (
-            DownSample1d, UpSample1d)
-    finally:
-        sys.path.remove(REF)
+    from conftest import import_reference
+
+    resample_mod = import_reference(
+        "modules.bigvgan.alias_free_activation.torch.resample")
+    DownSample1d, UpSample1d = resample_mod.DownSample1d, resample_mod.UpSample1d
     import torch
 
     x = np.random.default_rng(3).standard_normal((1, 4, 64)).astype(np.float32)  # B,C,T

@@ -14,30 +14,12 @@ from seedvc_tpu.models.rmvpe import RMVPE_E2E, decode_f0, rmvpe_mel
 REF = "/root/reference"
 
 
-def _stub_librosa():
-    if "librosa" in sys.modules:
-        return
-    librosa = types.ModuleType("librosa")
-    librosa.filters = types.ModuleType("librosa.filters")
-    librosa.filters.mel = lambda *, sr, n_fft, n_mels, fmin=0, fmax=None, htk=False: \
-        mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk=htk)
-    librosa.util = types.ModuleType("librosa.util")
-    librosa.util.normalize = lambda x, **kw: x
-    librosa.util.pad_center = lambda data, *, size, **kw: np.pad(
-        data, (int((size - len(data)) // 2),) * 2)
-    librosa.util.tiny = lambda x: np.finfo(np.float32).tiny
-    sys.modules["librosa"] = librosa
-    sys.modules["librosa.filters"] = librosa.filters
-    sys.modules["librosa.util"] = librosa.util
-
-
 def test_rmvpe_mel_matches_torch():
     import torch
 
-    _stub_librosa()
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    from modules.rmvpe import MelSpectrogram
+    from conftest import import_reference
+
+    MelSpectrogram = import_reference("modules.rmvpe").MelSpectrogram
 
     tm = MelSpectrogram(False, 128, 16000, 1024, 160, None, 30, 8000)
     wave = (np.random.default_rng(0).standard_normal((1, 8000)) * 0.2).astype(np.float32)
@@ -51,10 +33,9 @@ def test_rmvpe_mel_matches_torch():
 def test_rmvpe_e2e_parity():
     import torch
 
-    _stub_librosa()
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    from modules.rmvpe import E2E
+    from conftest import import_reference
+
+    E2E = import_reference("modules.rmvpe").E2E
 
     torch.manual_seed(0)
     tm = E2E(4, 1, (2, 2)).eval()
