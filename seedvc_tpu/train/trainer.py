@@ -1,0 +1,265 @@
+"""v1 fine-tuning trainer.
+
+Re-design of the reference Trainer (``train.py:762-1234``) around the
+sharded SPMD train step (``train/step.py``):
+
+- frozen encoders (Whisper semantic, CAMPPlus style) run as fixed-shape
+  jitted programs; the trainable unit is VCModel (regulator + CFM),
+- timbre perturbation: the reference runs the OpenVoice VITS converter on
+  each batch to make content features timbre-invariant (``train.py:544-551``,
+  ``:770-801``).  That 2.9k-LoC flow stack is a frozen third-party model; as
+  a TPU-native substitute this trainer applies NANSY-style random resampling
+  (rate 0.85-1.15) to the 16 kHz audio fed to the semantic encoder — the
+  same invariance pressure without a second network.  (The OpenVoice
+  converter itself is planned as a later checkpoint-converted addition.)
+- EMA-smoothed loss logging (0.99), plateau-based LR halving with early-stop
+  patience (``train.py:1093-1141``), warmup schedule,
+- Orbax checkpointing (params/opt_state/step), keep newest 2, auto-resume
+  (``train.py:1143-1175``, ``modules/commons.py:412-479``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from seedvc_tpu.core.config import SeedVCConfig
+from seedvc_tpu.dsp.fbank import kaldi_fbank
+from seedvc_tpu.dsp.mel import MelFrontend
+from seedvc_tpu.dsp.resample import resample
+from seedvc_tpu.dsp.whisper_mel import whisper_log_mel
+from seedvc_tpu.models.campplus import CAMPPlus
+from seedvc_tpu.models.vc import VCModel
+from seedvc_tpu.models.whisper import WhisperEncoder, WhisperEncoderConfig, WHISPER_SMALL
+from seedvc_tpu.parallel.mesh import make_mesh
+from seedvc_tpu.train.dataset import Batch, FTDataset
+from seedvc_tpu.train.optim import make_optimizer, warmup_cosine
+from seedvc_tpu.train.step import TrainState, init_state, make_sharded_train_step, shard_state
+
+
+@dataclass
+class TrainerConfig:
+    data_path: str = ""
+    run_dir: str = "./runs/run1"
+    batch_size: int = 2
+    epochs: int = 10
+    max_steps: int = 1000
+    base_lr: float = 1e-4
+    warmup_steps: int = 100
+    grad_clip: float = 10.0
+    log_interval: int = 10
+    save_interval: int = 500
+    mel_bucket: int = 128        # mel frames rounded up to this multiple
+    ema_decay: float = 0.99      # loss EMA for logging/plateau logic
+    lr_halve_patience: int = 4   # plateau validations before halving LR
+    perturb_min: float = 0.85
+    perturb_max: float = 1.15
+    seed: int = 1234
+
+
+class Trainer:
+    def __init__(self, cfg: SeedVCConfig, tcfg: TrainerConfig,
+                 whisper_cfg: WhisperEncoderConfig = WHISPER_SMALL,
+                 whisper_params=None, campplus_params=None, vc_params=None,
+                 n_model: int = 1):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        sp = cfg.preprocess_params.spect_params
+        self.sr = cfg.preprocess_params.sr
+        self.hop = sp.hop_length
+        self.n_mels = sp.n_mels
+        self.mel_fn = MelFrontend(self.sr, sp)
+
+        key = jax.random.PRNGKey(tcfg.seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+
+        self.whisper = WhisperEncoder(whisper_cfg)
+        self.whisper_params = whisper_params or jax.jit(self.whisper.init)(
+            k1, jnp.zeros((1, 3000, whisper_cfg.n_mels)))["params"]
+        self.campplus = CAMPPlus(
+            feat_dim=80, embedding_size=cfg.model_params.style_encoder.dim)
+        self.campplus_params = campplus_params or jax.jit(self.campplus.init)(
+            k2, jnp.zeros((1, 300, 80)))["params"]
+
+        self.model = VCModel(cfg.model_params)
+        n_devices = len(jax.devices())
+        n_data = n_devices // n_model
+        if tcfg.batch_size % n_data != 0:
+            raise ValueError(
+                f"batch_size {tcfg.batch_size} must be divisible by the data "
+                f"axis size {n_data} (= {n_devices} devices / n_model {n_model})")
+        self.mesh = make_mesh(n_data=n_data, n_model=n_model)
+
+        schedule = warmup_cosine(tcfg.base_lr, tcfg.warmup_steps,
+                                 tcfg.max_steps)
+        self._lr_scale = 1.0  # plateau halving multiplier
+        self.optimizer = make_optimizer(
+            lambda step: schedule(step) * self._lr_scale,
+            grad_clip=tcfg.grad_clip)
+
+        in_ch = cfg.model_params.length_regulator.in_channels
+        example = {
+            "s_alt": jnp.zeros((tcfg.batch_size, 8, in_ch)),
+            "s_ori": jnp.zeros((tcfg.batch_size, 8, in_ch)),
+            "mels": jnp.zeros((tcfg.batch_size, 16, self.n_mels)),
+            "mel_lens": jnp.full((tcfg.batch_size,), 16, jnp.int32),
+            "style": jnp.zeros((tcfg.batch_size,
+                                cfg.model_params.style_encoder.dim)),
+        }
+        if vc_params is not None:
+            state = TrainState(vc_params, self.optimizer.init(vc_params),
+                               jnp.zeros((), jnp.int32))
+        else:
+            state = init_state(self.model, self.optimizer, k3, example)
+        self.state = shard_state(state, self.mesh)
+        self.step_fn = make_sharded_train_step(self.model, self.optimizer,
+                                               self.mesh)
+
+        self._jit_whisper = jax.jit(
+            lambda p, w: self.whisper.apply({"params": p}, whisper_log_mel(w)))
+        self._jit_style = jax.jit(
+            lambda p, f: self.campplus.apply({"params": p}, f))
+
+        self.ema_loss: Optional[float] = None
+        self.best_ema: float = float("inf")
+        self.plateau_count = 0
+
+        self._ckpt_mgr = None
+        if tcfg.run_dir:
+            import orbax.checkpoint as ocp
+
+            os.makedirs(tcfg.run_dir, exist_ok=True)
+            self._ckpt_mgr = ocp.CheckpointManager(
+                os.path.abspath(tcfg.run_dir),
+                options=ocp.CheckpointManagerOptions(max_to_keep=2))
+
+    # ------------------------------------------------------------------
+    def _semantic(self, waves_16k: np.ndarray, lens_16k: np.ndarray) -> jnp.ndarray:
+        """Whisper features for a batch, padded to the 30 s window."""
+        B = waves_16k.shape[0]
+        chunk = 30 * 16000
+        padded = np.zeros((B, chunk), np.float32)
+        padded[:, : waves_16k.shape[1]] = waves_16k[:, :chunk]
+        return self._jit_whisper(self.whisper_params, jnp.asarray(padded))
+
+    def _perturb(self, waves_16k: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        """Timbre perturbation by random-rate resampling (formant shift)."""
+        rate = rng.uniform(self.tcfg.perturb_min, self.tcfg.perturb_max)
+        num = max(int(round(16000 * rate / 50) * 50), 8000)
+        warped = np.asarray(resample(jnp.asarray(waves_16k), 16000, num))
+        out = np.zeros_like(waves_16k)
+        n = min(out.shape[1], warped.shape[1])
+        out[:, :n] = warped[:, :n]
+        return out
+
+    def prepare_batch(self, batch: Batch, rng: np.random.Generator) -> dict:
+        tb = self.tcfg
+        B = batch.waves.shape[0]
+
+        mel_lens = batch.wave_lengths // self.hop
+        max_len = int(mel_lens.max())
+        bucket = -(-max_len // tb.mel_bucket) * tb.mel_bucket
+        wav_bucket = bucket * self.hop
+        waves = np.zeros((B, wav_bucket), np.float32)
+        n = min(wav_bucket, batch.waves.shape[1])
+        waves[:, :n] = batch.waves[:, :n]
+        mels = np.asarray(self.mel_fn(jnp.asarray(waves)))
+        # pad region -> -10 (reference collate, ft_dataset.py:218-243)
+        pos = np.arange(bucket)[None, :]
+        mels = np.where((pos < mel_lens[:, None])[..., None], mels, -10.0)
+
+        s_ori = self._semantic(batch.waves_16k, batch.wave_16k_lengths)
+        s_alt = self._semantic(self._perturb(batch.waves_16k, rng),
+                               batch.wave_16k_lengths)
+        n_s = min(s_ori.shape[1], s_alt.shape[1])
+
+        feat = kaldi_fbank(jnp.asarray(batch.waves_16k))
+        feat = feat - feat.mean(axis=1, keepdims=True)
+        style = self._jit_style(self.campplus_params, feat)
+
+        return {
+            "s_alt": s_alt[:, :n_s],
+            "s_ori": s_ori[:, :n_s],
+            "mels": jnp.asarray(mels),
+            "mel_lens": jnp.asarray(mel_lens.astype(np.int32)),
+            "style": style,
+        }
+
+    # ------------------------------------------------------------------
+    def save(self, step: int):
+        if self._ckpt_mgr is None:
+            return
+        import orbax.checkpoint as ocp
+
+        self._ckpt_mgr.save(
+            step,
+            args=ocp.args.PyTreeSave({
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+            }))
+        self._ckpt_mgr.wait_until_finished()
+
+    def restore_latest(self) -> bool:
+        if self._ckpt_mgr is None or self._ckpt_mgr.latest_step() is None:
+            return False
+        import orbax.checkpoint as ocp
+
+        restored = self._ckpt_mgr.restore(
+            self._ckpt_mgr.latest_step(),
+            args=ocp.args.PyTreeRestore({
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+            }))
+        self.state = TrainState(restored["params"], restored["opt_state"],
+                                restored["step"])
+        return True
+
+    # ------------------------------------------------------------------
+    def train(self, dataset: FTDataset):
+        tb = self.tcfg
+        rng = np.random.default_rng(tb.seed)
+        key = jax.random.PRNGKey(tb.seed)
+        step = int(self.state.step)
+        t0 = time.time()
+        for epoch in range(tb.epochs):
+            for batch in dataset.batches(shuffle=True, epoch=epoch):
+                feats = self.prepare_batch(batch, rng)
+                key, sub = jax.random.split(key)
+                self.state, metrics = self.step_fn(self.state, feats, sub)
+                step += 1
+                loss = float(metrics["loss"])
+                self.ema_loss = (loss if self.ema_loss is None
+                                 else tb.ema_decay * self.ema_loss
+                                 + (1 - tb.ema_decay) * loss)
+                if step % tb.log_interval == 0:
+                    print(f"step {step} loss {loss:.4f} ema {self.ema_loss:.4f} "
+                          f"gnorm {float(metrics['grad_norm']):.3f} "
+                          f"({(time.time()-t0)/tb.log_interval:.2f}s/step)")
+                    t0 = time.time()
+                    # plateau-based LR halving (reference train.py:1122-1141)
+                    if self.ema_loss < self.best_ema - 1e-4:
+                        self.best_ema = self.ema_loss
+                        self.plateau_count = 0
+                    else:
+                        self.plateau_count += 1
+                        if self.plateau_count >= tb.lr_halve_patience:
+                            self._lr_scale *= 0.5
+                            self.plateau_count = 0
+                            print(f"plateau: halving LR (scale {self._lr_scale})")
+                if step % tb.save_interval == 0:
+                    self.save(step)
+                if step >= tb.max_steps:
+                    self.save(step)
+                    return step
+        self.save(step)
+        return step

@@ -1,0 +1,76 @@
+"""Trainer end-to-end on tiny models + synthetic data, incl. checkpoint
+save/restore on the virtual CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+from seedvc_tpu.apps.audio_io import save_wav
+from seedvc_tpu.core.config import (
+    DiTConfig, LengthRegulatorConfig, ModelParams, PreprocessConfig,
+    SeedVCConfig, SpectConfig, WavenetConfig)
+from seedvc_tpu.models.whisper import WhisperEncoderConfig
+from seedvc_tpu.train.dataset import FTDataset
+from seedvc_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def tiny_cfg():
+    return SeedVCConfig(
+        preprocess_params=PreprocessConfig(
+            sr=22050, spect_params=SpectConfig(n_fft=1024, win_length=1024,
+                                               hop_length=256, n_mels=80)),
+        model_params=ModelParams(
+            length_regulator=LengthRegulatorConfig(
+                channels=16, is_discrete=False, in_channels=32,
+                sampling_ratios=(1,)),
+            DiT=DiTConfig(hidden_dim=32, num_heads=4, depth=2, in_channels=80,
+                          final_layer_type="mlp", content_dim=16,
+                          long_skip_connection=False,
+                          uvit_skip_connection=False),
+            wavenet=WavenetConfig(hidden_dim=32, num_layers=1),
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def wav_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wavs")
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        wave = (rng.standard_normal(22050 + i * 2000) * 0.1).astype(np.float32)
+        save_wav(str(d / f"a{i}.wav"), wave, 22050)
+    # one bad file (too short) exercising deterministic replacement
+    save_wav(str(d / "short.wav"), np.zeros(1000, np.float32), 22050)
+    return str(d)
+
+
+def test_dataset_scan_and_batches(wav_dir):
+    ds = FTDataset(wav_dir, 22050, batch_size=2)
+    assert len(ds.files) == 5
+    batches = list(ds.batches(shuffle=False))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b.waves.shape[0] == 2
+    assert (b.wave_lengths > 22050 * 0.9).all()  # short.wav was replaced
+
+
+@pytest.mark.slow
+def test_trainer_steps_and_checkpoint(wav_dir, tmp_path):
+    cfg = tiny_cfg()
+    wcfg = WhisperEncoderConfig(d_model=32, n_layers=1, n_heads=4, ffn_dim=64)
+    run_dir = str(tmp_path / "run")
+    tcfg = TrainerConfig(
+        data_path=wav_dir, run_dir=run_dir, batch_size=2, epochs=1,
+        max_steps=2, log_interval=1, save_interval=100, mel_bucket=64)
+    trainer = Trainer(cfg, tcfg, whisper_cfg=wcfg, n_model=4)
+    ds = FTDataset(wav_dir, 22050, batch_size=2)
+    final = trainer.train(ds)
+    assert final == 2
+    assert trainer.ema_loss is not None and np.isfinite(trainer.ema_loss)
+    assert os.path.isdir(run_dir)
+
+    # resume path
+    trainer2 = Trainer(cfg, tcfg, whisper_cfg=wcfg, n_model=4)
+    assert trainer2.restore_latest()
+    assert int(trainer2.state.step) == 2
