@@ -91,10 +91,20 @@ class VoiceConverter:
         # NOTE: inits are jitted — unjitted flax init dispatches one tiny
         # device op per parameter, which is pathological through the axon
         # remote-dispatch tunnel (hundreds of round-trips).
-        self.whisper = WhisperEncoder(whisper_cfg)
-        if whisper_params is None:
-            whisper_params = jax.jit(self.whisper.init)(
-                k1, jnp.zeros((1, 3000, whisper_cfg.n_mels)))["params"]
+        self.tokenizer_type = self.cfg.model_params.speech_tokenizer.type
+        if self.tokenizer_type in ("xlsr", "cnhubert"):
+            from seedvc_tpu.models.ssl import SSLEncoder, XLSR_300M_L12
+
+            ssl_cfg = whisper_cfg if hasattr(whisper_cfg, "conv_kernels") else XLSR_300M_L12
+            self.whisper = SSLEncoder(ssl_cfg)
+            if whisper_params is None:
+                whisper_params = jax.jit(self.whisper.init)(
+                    k1, jnp.zeros((1, 16000)))["params"]
+        else:
+            self.whisper = WhisperEncoder(whisper_cfg)
+            if whisper_params is None:
+                whisper_params = jax.jit(self.whisper.init)(
+                    k1, jnp.zeros((1, 3000, whisper_cfg.n_mels)))["params"]
         self.whisper_params = whisper_params
 
         self.campplus = CAMPPlus(feat_dim=80, embedding_size=self.cfg.model_params.style_encoder.dim)
@@ -131,11 +141,20 @@ class VoiceConverter:
                     jax.random.split(key, 5)[-1], jnp.zeros((1, 32, 128)))["params"]
             self.rmvpe = RMVPE(rmvpe_params)
 
-        voc_cfg = BIGVGAN_44K_128 if self.n_mels == 128 else BIGVGAN_22K_80
-        self.vocoder = BigVGAN(voc_cfg)
-        if vocoder_params is None:
-            vocoder_params = jax.jit(self.vocoder.init)(
-                k4, jnp.zeros((1, 16, self.n_mels)))["params"]
+        self.vocoder_type = self.cfg.model_params.vocoder.type
+        if self.vocoder_type == "hifigan":
+            from seedvc_tpu.models.hifigan import HiFTConfig, HiFTGenerator
+
+            self.vocoder = HiFTGenerator(HiFTConfig(sampling_rate=self.sr))
+            if vocoder_params is None:
+                vocoder_params = jax.jit(self.vocoder.init)(
+                    k4, jnp.zeros((1, 16, self.n_mels)), jax.random.PRNGKey(0))["params"]
+        else:
+            voc_cfg = BIGVGAN_44K_128 if self.n_mels == 128 else BIGVGAN_22K_80
+            self.vocoder = BigVGAN(voc_cfg)
+            if vocoder_params is None:
+                vocoder_params = jax.jit(self.vocoder.init)(
+                    k4, jnp.zeros((1, 16, self.n_mels)))["params"]
         self.vocoder_params = vocoder_params
 
         self._build_jit_fns()
@@ -150,10 +169,15 @@ class VoiceConverter:
         context = self.context
         source_window = self.source_window
 
-        @jax.jit
-        def whisper_fn(params, wave_16k):
-            mel = whisper_log_mel(wave_16k)
-            return whisper.apply({"params": params}, mel)
+        if self.tokenizer_type in ("xlsr", "cnhubert"):
+            @jax.jit
+            def whisper_fn(params, wave_16k):
+                return whisper.apply({"params": params}, wave_16k)
+        else:
+            @jax.jit
+            def whisper_fn(params, wave_16k):
+                mel = whisper_log_mel(wave_16k)
+                return whisper.apply({"params": params}, mel)
 
         @jax.jit
         def style_fn(params, fbank_feat):
@@ -176,9 +200,16 @@ class VoiceConverter:
                 estimate, key, cond_cat, total_len, prompt_mel, prompt_len,
                 style, n_mels=n_mels, n_timesteps=n_steps, cfg_rate=cfg_rate)
 
-        @jax.jit
-        def vocode_fn(params, mel_chunk):
-            return vocoder.apply({"params": params}, mel_chunk)
+        if self.vocoder_type == "hifigan":
+            @jax.jit
+            def vocode_fn(params, mel_chunk):
+                # fixed sine-phase key: deterministic streaming vocoding
+                return vocoder.apply({"params": params}, mel_chunk,
+                                     jax.random.PRNGKey(0))
+        else:
+            @jax.jit
+            def vocode_fn(params, mel_chunk):
+                return vocoder.apply({"params": params}, mel_chunk)
 
         self._whisper_fn = whisper_fn
         self._style_fn = style_fn
@@ -197,11 +228,23 @@ class VoiceConverter:
         overlap = 5 * 16000
         T = wave_16k.shape[-1]
 
-        def encode(piece: np.ndarray) -> jax.Array:
-            padded = np.zeros(chunk, np.float32)
-            padded[: len(piece)] = piece
-            feats = self._whisper_fn(self.whisper_params, jnp.asarray(padded[None]))
-            return feats[:, : len(piece) // 320 + 1]
+        if self.tokenizer_type in ("xlsr", "cnhubert"):
+            # SSL encoders have no fixed window: pad to 5 s buckets.
+            def encode(piece: np.ndarray) -> jax.Array:
+                bucket = 5 * 16000
+                padded_len = -(-max(len(piece), 8000) // bucket) * bucket
+                padded = np.zeros(padded_len, np.float32)
+                padded[: len(piece)] = piece
+                feats = self._whisper_fn(self.whisper_params,
+                                         jnp.asarray(padded[None]))
+                return feats[:, : len(piece) // 320]
+        else:
+            def encode(piece: np.ndarray) -> jax.Array:
+                padded = np.zeros(chunk, np.float32)
+                padded[: len(piece)] = piece
+                feats = self._whisper_fn(self.whisper_params,
+                                         jnp.asarray(padded[None]))
+                return feats[:, : len(piece) // 320 + 1]
 
         if T <= chunk:
             return encode(wave_16k)

@@ -1,0 +1,321 @@
+"""v2 voice/accent conversion pipeline (AR + CFM over BSQ tokens).
+
+Re-design of the reference ``modules/v2/vc_wrapper.py`` composition root:
+
+- content: HuBERT-large features -> ASTRAL quantizers — "narrow" (codebook
+  32, AR source) and "wide" (codebook 2048, CFM condition) sharing one SSL
+  forward (``vc_wrapper.py:94``),
+- ``convert_timbre``: wide tokens -> cfm regulator -> multi-cond CFG CFM ->
+  vocoder (``vc_wrapper.py:364-419``),
+- ``convert_voice``: duration-reduced narrow tokens through the AR
+  (chunks of <= 1500 tokens with the target prefix re-prepended,
+  ``vc_wrapper.py:628-649``) -> predicted wide tokens -> CFM
+  (``vc_wrapper.py:421-491``),
+- anonymisation via ``random_voice`` CFG mode; intelligibility/similarity
+  CFG rates (``convert_voice_with_streaming`` semantics).
+
+All stages are fixed-shape jitted programs; the AR decode is one compiled
+while-loop (``seedvc_tpu/models/ar.py``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seedvc_tpu.core.config import LengthRegulatorConfig, SpectConfig
+from seedvc_tpu.dsp.fbank import kaldi_fbank
+from seedvc_tpu.dsp.mel import MelFrontend
+from seedvc_tpu.dsp.resample import resample
+from seedvc_tpu.models.ar import ARConfig, ARTransformer, make_generate_fn
+from seedvc_tpu.models.astral import ASTRAL_NARROW, ASTRAL_WIDE, AstralConfig, AstralQuantizer
+from seedvc_tpu.models.bigvgan import BIGVGAN_22K_80, BigVGAN
+from seedvc_tpu.models.campplus import CAMPPlus
+from seedvc_tpu.models.cfm_v2 import euler_solve_multicfg
+from seedvc_tpu.models.dit_v2 import DiTV2, DiTV2Config
+from seedvc_tpu.models.regulator import InterpolateRegulator
+from seedvc_tpu.models.ssl import HUBERT_LARGE_L18, SSLConfig, SSLEncoder
+from seedvc_tpu.nn.bsq import duration_reduction
+from seedvc_tpu.pipelines.convert import OVERLAP_FRAMES, cosine_crossfade
+
+AR_MAX_CONTENT_LEN = 1500  # reference vc_wrapper.py:52
+
+
+@dataclass
+class V2Config:
+    sr: int = 22050
+    hop: int = 256
+    n_mels: int = 80
+    dit: DiTV2Config = field(default_factory=DiTV2Config)
+    ar: ARConfig = field(default_factory=ARConfig)
+    ssl: SSLConfig = field(default_factory=lambda: HUBERT_LARGE_L18)
+    narrow: AstralConfig = field(default_factory=lambda: ASTRAL_NARROW)
+    wide: AstralConfig = field(default_factory=lambda: ASTRAL_WIDE)
+    prompt_cap_frames: int = 768
+    context_frames: int = 2583
+    max_ref_sec: float = 25.0  # reference clips target to 25 s (:565-578)
+
+
+class VoiceConverterV2:
+    def __init__(self, cfg: V2Config = V2Config(), *, params: dict | None = None,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.mel_fn = MelFrontend(cfg.sr, SpectConfig(n_mels=cfg.n_mels))
+        key = jax.random.PRNGKey(seed)
+        ks = jax.random.split(key, 8)
+        params = params or {}
+
+        self.ssl = SSLEncoder(cfg.ssl)
+        self.p_ssl = params.get("ssl") or jax.jit(self.ssl.init)(
+            ks[0], jnp.zeros((1, 16000)))["params"]
+
+        self.narrow = AstralQuantizer(cfg.narrow)
+        self.p_narrow = params.get("narrow") or jax.jit(self.narrow.init)(
+            ks[1], jnp.zeros((1, 50, cfg.ssl.d_model)))["params"]
+        self.wide = AstralQuantizer(cfg.wide)
+        self.p_wide = params.get("wide") or jax.jit(self.wide.init)(
+            ks[2], jnp.zeros((1, 50, cfg.ssl.d_model)))["params"]
+
+        self.campplus = CAMPPlus(feat_dim=80, embedding_size=cfg.dit.style_encoder_dim)
+        self.p_campplus = params.get("campplus") or jax.jit(self.campplus.init)(
+            ks[3], jnp.zeros((1, 300, 80)))["params"]
+
+        self.cfm_reg = InterpolateRegulator(LengthRegulatorConfig(
+            channels=cfg.dit.content_dim, is_discrete=True,
+            content_codebook_size=cfg.wide.codebook_size,
+            sampling_ratios=(1, 1, 1, 1)))
+        self.p_cfm_reg = params.get("cfm_reg") or jax.jit(
+            partial(self.cfm_reg.init, target_len=16))(
+            ks[4], jnp.zeros((1, 8), jnp.int32), jnp.array([16]))["params"]
+
+        self.ar_reg = InterpolateRegulator(LengthRegulatorConfig(
+            channels=cfg.ar.dim, is_discrete=True,
+            content_codebook_size=cfg.narrow.codebook_size,
+            sampling_ratios=()))
+        self.p_ar_reg = params.get("ar_reg") or jax.jit(
+            partial(self.ar_reg.init, target_len=8))(
+            ks[5], jnp.zeros((1, 8), jnp.int32), jnp.array([8]))["params"]
+
+        self.dit = DiTV2(cfg.dit)
+        self.p_dit = params.get("dit") or jax.jit(self.dit.init)(
+            ks[6], jnp.zeros((1, 16, cfg.n_mels)), jnp.zeros((1, 16, cfg.n_mels)),
+            jnp.array([16]), jnp.zeros((1,)),
+            jnp.zeros((1, cfg.dit.style_encoder_dim)),
+            jnp.zeros((1, 16, cfg.dit.content_dim)))["params"]
+
+        self.ar = ARTransformer(cfg.ar)
+        self.p_ar = params.get("ar") or jax.jit(
+            partial(self.ar.init, method=self.ar.init_all))(
+            ks[7], jnp.zeros((1, 4), jnp.int32), jnp.arange(4)[None],
+            jnp.tril(jnp.ones((4, 4), bool))[None, None])["params"]
+
+        self.vocoder = BigVGAN(BIGVGAN_22K_80)
+        self.p_vocoder = params.get("vocoder") or jax.jit(self.vocoder.init)(
+            jax.random.PRNGKey(seed + 1), jnp.zeros((1, 16, cfg.n_mels)))["params"]
+
+        self._build_fns()
+
+    # ------------------------------------------------------------------
+    def _build_fns(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def ssl_fn(p, wave16):
+            return self.ssl.apply({"params": p}, wave16)
+
+        @jax.jit
+        def quant_fn(p_n, p_w, feats):
+            _, idx_n, _ = self.narrow.apply({"params": p_n}, feats)
+            _, idx_w, _ = self.wide.apply({"params": p_w}, feats)
+            return idx_n, idx_w
+
+        @jax.jit
+        def style_fn(p, fb):
+            return self.campplus.apply({"params": p}, fb)
+
+        @partial(jax.jit, static_argnames=("target_len",))
+        def cfm_reg_fn(p, tokens, ylens, target_len):
+            out, _ = self.cfm_reg.apply({"params": p}, tokens, ylens, target_len)
+            return out
+
+        @partial(jax.jit, static_argnames=("target_len",))
+        def ar_reg_fn(p, tokens, ylens, target_len):
+            out, _ = self.ar_reg.apply({"params": p}, tokens, ylens, target_len)
+            return out
+
+        @partial(jax.jit, static_argnames=("n_steps", "r0", "r1", "random_voice"))
+        def sample_fn(p, key, cond, total_len, prompt_mel, prompt_len, style,
+                      n_steps, r0, r1, random_voice):
+            def estimate(x, px, l, t, s, m):
+                return self.dit.apply({"params": p}, x, px, l, t, s, m)
+
+            return euler_solve_multicfg(
+                estimate, key, cond, total_len, prompt_mel, prompt_len, style,
+                n_mels=cfg.n_mels, n_timesteps=n_steps, cfg_rates=(r0, r1),
+                random_voice=random_voice)
+
+        @jax.jit
+        def vocode_fn(p, mel):
+            return self.vocoder.apply({"params": p}, mel)
+
+        self._ssl_fn = ssl_fn
+        self._quant_fn = quant_fn
+        self._style_fn = style_fn
+        self._cfm_reg_fn = cfm_reg_fn
+        self._ar_reg_fn = ar_reg_fn
+        self._sample_fn = sample_fn
+        self._vocode_fn = vocode_fn
+        self._generate = jax.jit(make_generate_fn(self.ar, max_new_tokens=2048))
+
+    # ------------------------------------------------------------------
+    def content_tokens(self, wave_16k: np.ndarray):
+        """SSL (padded to 5 s buckets) -> (narrow_idx, wide_idx) (1, T50)."""
+        T = len(wave_16k)
+        bucket = 5 * 16000
+        padded_len = -(-max(T, 8000) // bucket) * bucket
+        padded = np.zeros(padded_len, np.float32)
+        padded[:T] = wave_16k
+        feats = self._ssl_fn(self.p_ssl, jnp.asarray(padded[None]))
+        n = T // 320
+        idx_n, idx_w = self._quant_fn(self.p_narrow, self.p_wide, feats)
+        return np.asarray(idx_n)[:, :n], np.asarray(idx_w)[:, :n]
+
+    def compute_style(self, wave_16k: np.ndarray):
+        fb = kaldi_fbank(jnp.asarray(wave_16k[None]))
+        fb = fb - fb.mean(axis=1, keepdims=True)
+        return self._style_fn(self.p_campplus, fb)
+
+    def _regulate_tokens(self, reg_fn, p, tokens: np.ndarray, mel_len: int):
+        bucket = -(-mel_len // 256) * 256
+        out = reg_fn(p, jnp.asarray(tokens), jnp.array([mel_len]), bucket)
+        return out[:, :mel_len]
+
+    # ------------------------------------------------------------------
+    def convert_voice(
+        self,
+        source: np.ndarray, source_sr: int,
+        reference: np.ndarray, reference_sr: int,
+        *,
+        convert_style: bool = True,
+        anonymization_only: bool = False,
+        diffusion_steps: int = 30,
+        length_adjust: float = 1.0,
+        intelligibility_cfg_rate: float = 0.7,
+        similarity_cfg_rate: float = 0.7,
+        top_p: float = 0.7,
+        temperature: float = 0.7,
+        repetition_penalty: float = 1.5,
+        seed: int = 0,
+    ) -> tuple[int, np.ndarray, dict]:
+        cfg = self.cfg
+        t_start = time.time()
+        ref_cap = int(cfg.max_ref_sec * reference_sr)
+        reference = reference[:ref_cap]
+
+        src = np.asarray(resample(jnp.asarray(source), source_sr, cfg.sr))
+        ref = np.asarray(resample(jnp.asarray(reference), reference_sr, cfg.sr))
+        src16 = np.asarray(resample(jnp.asarray(source), source_sr, 16000))
+        ref16 = np.asarray(resample(jnp.asarray(reference), reference_sr, 16000))
+        ref = ref[: cfg.prompt_cap_frames * cfg.hop]
+        ref16 = ref16[: int(len(ref) / cfg.sr * 16000)]
+
+        src_n, src_w = self.content_tokens(src16)
+        tgt_n, tgt_w = self.content_tokens(ref16)
+
+        mel2 = self.mel_fn(jnp.asarray(ref[None]))
+        p_len = mel2.shape[1]
+        style = self.compute_style(ref16)
+
+        prompt_cond = self._regulate_tokens(
+            self._cfm_reg_fn, self.p_cfm_reg, tgt_w, p_len)
+
+        if convert_style or anonymization_only:
+            # AR path: duration-reduced narrow tokens -> wide tokens.
+            tgt_red, _ = duration_reduction(np.asarray(tgt_n)[0])
+            src_red, _ = duration_reduction(np.asarray(src_n)[0])
+            pred_chunks = []
+            for start in range(0, len(src_red), AR_MAX_CONTENT_LEN):
+                chunk = src_red[start: start + AR_MAX_CONTENT_LEN]
+                ar_src = np.concatenate([tgt_red, chunk])[None]
+                C_max = -(-len(ar_src[0]) // 256) * 256
+                cond_emb = self._regulate_tokens(
+                    self._ar_reg_fn, self.p_ar_reg,
+                    np.pad(ar_src, ((0, 0), (0, C_max - ar_src.shape[1]))),
+                    C_max)
+                P_max = -(-max(tgt_w.shape[1], 8) // 64) * 64
+                prompt_tok = np.zeros((1, P_max), np.int64)
+                prompt_tok[:, : tgt_w.shape[1]] = tgt_w
+                key = jax.random.PRNGKey(seed + start)
+                tokens, n_tok = self._generate(
+                    {"params": self.p_ar}, cond_emb,
+                    jnp.asarray(ar_src.shape[1]), jnp.asarray(prompt_tok),
+                    jnp.asarray(tgt_w.shape[1]), key)
+                pred_chunks.append(np.asarray(tokens)[: int(n_tok)])
+            wide_tokens = np.concatenate(pred_chunks)[None]
+        else:
+            wide_tokens = src_w
+
+        src_mel_len = len(src) // cfg.hop
+        target_len = int(src_mel_len * length_adjust)
+        cond = self._regulate_tokens(self._cfm_reg_fn, self.p_cfm_reg,
+                                     wide_tokens, target_len)
+
+        # chunked CFM like v1 (fixed context)
+        context = cfg.context_frames
+        W = context - cfg.prompt_cap_frames
+        prompt_mel_pad = np.zeros((1, context, cfg.n_mels), np.float32)
+        prompt_mel_pad[:, :p_len] = np.asarray(mel2)
+        cond_np = np.asarray(cond)
+        chunks_out, prev_tail = [], None
+        overlap_wave = OVERLAP_FRAMES * cfg.hop
+        processed = 0
+        key = jax.random.PRNGKey(seed)
+        while processed < target_len:
+            chunk = cond_np[:, processed: processed + W]
+            w = chunk.shape[1]
+            is_last = processed + W >= target_len
+            cat = np.zeros((1, context, cond_np.shape[-1]), np.float32)
+            cat[:, :p_len] = np.asarray(prompt_cond)
+            cat[:, p_len: p_len + w] = chunk
+            key, sub = jax.random.split(key)
+            mel_out = self._sample_fn(
+                self.p_dit, sub, jnp.asarray(cat), jnp.array([p_len + w]),
+                jnp.asarray(prompt_mel_pad), p_len, style, diffusion_steps,
+                float(similarity_cfg_rate), float(intelligibility_cfg_rate),
+                bool(anonymization_only))
+            gen = jax.lax.dynamic_slice(mel_out, (0, p_len, 0),
+                                        (1, W, cfg.n_mels))
+            wave = np.asarray(self._vocode_fn(self.p_vocoder, gen))[0]
+            wave = wave[: w * cfg.hop]
+            if prev_tail is None:
+                if is_last:
+                    chunks_out.append(wave)
+                else:
+                    chunks_out.append(wave[:-overlap_wave])
+                    prev_tail = wave[-overlap_wave:]
+            elif is_last:
+                chunks_out.append(cosine_crossfade(prev_tail, wave, overlap_wave))
+            else:
+                chunks_out.append(cosine_crossfade(prev_tail, wave[:-overlap_wave],
+                                                   overlap_wave))
+                prev_tail = wave[-overlap_wave:]
+            processed += w if is_last else (w - OVERLAP_FRAMES)
+
+        out = np.concatenate(chunks_out) if chunks_out else np.zeros(0, np.float32)
+        dt = time.time() - t_start
+        return cfg.sr, out, {
+            "rtf": dt / max(len(out) / cfg.sr, 1e-9),
+            "wall_seconds": dt,
+            "wide_tokens": int(wide_tokens.shape[1]),
+        }
+
+    def convert_timbre(self, source, source_sr, reference, reference_sr, **kw):
+        """Timbre-only conversion (no AR; ``vc_wrapper.py:364-419``)."""
+        kw["convert_style"] = False
+        return self.convert_voice(source, source_sr, reference, reference_sr, **kw)
