@@ -32,6 +32,10 @@ BASELINE_AUDIO_SEC_PER_S = 1.2  # RTX 3060 realtime block ratio (see above)
 
 def main():
     cfg = get_preset("whisper_small_wavenet")
+    # NOTE: the Pallas flash-attention option (DiT.use_flash_attention) was
+    # measured SLOWER than XLA's fused attention at this shape (B=2, H=8,
+    # T~2.5k, head_dim 64): 1.15 s vs 0.76 s for the 25-step sampler — XLA's
+    # attention fusion wins at small batch/head_dim. Left off.
     mp = cfg.model_params
     sr = cfg.preprocess_params.sr
     hop = cfg.preprocess_params.spect_params.hop_length

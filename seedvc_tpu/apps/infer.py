@@ -40,7 +40,7 @@ def main(argv=None):
 
     params = {}
     if args.checkpoint_dir:
-        for name in ("vc", "whisper", "campplus", "vocoder"):
+        for name in ("vc", "whisper", "campplus", "vocoder", "rmvpe"):
             path = os.path.join(args.checkpoint_dir, f"{name}.pkl")
             if os.path.exists(path):
                 with open(path, "rb") as f:

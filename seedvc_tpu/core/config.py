@@ -125,6 +125,8 @@ class DiTConfig:
     # RoPE base used by the gpt-fast transformer (reference default, `:61`).
     rope_base: float = 10000.0
     norm_eps: float = 1e-5
+    # TPU flash-attention for the trunk (requires seq len % 512 == 0).
+    use_flash_attention: bool = False
 
 
 @dataclass(frozen=True)

@@ -103,6 +103,7 @@ class DiT(nn.Module):
                 norm_eps=dc.norm_eps,
                 uvit_skip_connection=dc.uvit_skip_connection,
                 time_as_token=dc.time_as_token,
+                use_flash=dc.use_flash_attention,
             ),
             name="transformer",
         )

@@ -82,13 +82,17 @@ def apply_rope(x: jax.Array, freqs: jax.Array) -> jax.Array:
 class Attention(nn.Module):
     """Fused-QKV multi-head attention with grouped KV heads.
 
-    Mask is a boolean (B, 1, Tq, Tk) (True = attend).  Softmax in fp32.
+    Mask is a boolean (B, 1, 1|Tq, Tk) (True = attend).  Softmax in fp32.
+    With ``use_flash`` and TPU-friendly shapes (T % 512 == 0, key-padding
+    mask), uses the Pallas flash-attention kernel — blockwise softmax, no
+    materialised (T, T) logits in HBM.
     """
 
     dim: int
     n_head: int
     n_local_heads: int | None = None  # KV heads (GQA); defaults to n_head
     head_dim: int | None = None
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -118,13 +122,31 @@ class Attention(nn.Module):
             v = jnp.repeat(v, rep, axis=2)
 
         scale = 1.0 / math.sqrt(hd)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        if mask is not None:
-            logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+
+        if (self.use_flash and T % 512 == 0
+                and jax.default_backend() == "tpu"):
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds, flash_attention)
+
+            if mask is not None:
+                # key-padding mask (B, 1, 1|T, T) -> per-token segment ids
+                seg = mask[:, 0, -1, :].astype(jnp.int32)
+                seg_ids = SegmentIds(q=seg, kv=seg)
+            else:
+                seg_ids = None
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), segment_ids=seg_ids,
+                causal=False, sm_scale=scale)
+            out = out.transpose(0, 2, 1, 3).astype(x.dtype)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            if mask is not None:
+                logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                             preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.reshape(B, T, self.n_head * hd)
         return nn.Dense(self.dim, use_bias=False, name="wo", dtype=x.dtype)(out)
 

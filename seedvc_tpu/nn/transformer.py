@@ -42,6 +42,7 @@ class TransformerConfig:
     norm_eps: float = 1e-5
     uvit_skip_connection: bool = False
     time_as_token: bool = False
+    use_flash: bool = False
 
 
 class TransformerBlock(nn.Module):
@@ -63,7 +64,7 @@ class TransformerBlock(nn.Module):
                 jnp.concatenate([x, skip_in], axis=-1))
         h = x + Attention(
             cfg.dim, cfg.n_head, cfg.n_local_heads, cfg.head_dim,
-            name="attention",
+            use_flash=cfg.use_flash, name="attention",
         )(AdaptiveRMSNorm(cfg.dim, cfg.norm_eps, name="attention_norm")(x, c),
           freqs, mask)
         out = h + FeedForward(

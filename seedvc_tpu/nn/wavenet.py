@@ -52,10 +52,14 @@ class WaveNet(nn.Module):
 
         for i in range(self.n_layers):
             dilation = self.dilation_rate ** i
+            # The reference's SConv1d reflect-pads symmetrically and runs the
+            # conv unpadded (modules/encodec.py:212-228) — match that.
+            pad = (self.kernel_size - 1) * dilation // 2
+            x_pad = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
             x_in = nn.Conv(
                 2 * C, (self.kernel_size,), kernel_dilation=dilation,
-                padding="SAME", name=f"in_layers_{i}", dtype=x.dtype,
-            )(x)
+                padding="VALID", name=f"in_layers_{i}", dtype=x.dtype,
+            )(x_pad)
             if g_all is not None:
                 g_l = g_all[..., i * 2 * C:(i + 1) * 2 * C]
                 x_in = x_in + g_l

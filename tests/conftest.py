@@ -40,8 +40,39 @@ REFERENCE_ROOT = "/root/reference"
 
 @contextlib.contextmanager
 def librosa_stub():
+    _extra = []
+    # munch / dac are reference-only deps (config bag, VQ class) not
+    # installed here; tiny functional stubs suffice for golden generation.
+    if "munch" not in sys.modules:
+        munch = types.ModuleType("munch")
+
+        class Munch(dict):
+            __getattr__ = dict.__getitem__
+            __setattr__ = dict.__setitem__
+
+        munch.Munch = Munch
+        sys.modules["munch"] = munch
+        _extra.append("munch")
+    if "dac" not in sys.modules:
+        dac = types.ModuleType("dac")
+        dac.nn = types.ModuleType("dac.nn")
+        dac.nn.quantize = types.ModuleType("dac.nn.quantize")
+
+        class VectorQuantize:  # only referenced, never built in our configs
+            def __init__(self, *a, **k):
+                raise NotImplementedError
+
+        dac.nn.quantize.VectorQuantize = VectorQuantize
+        sys.modules["dac"] = dac
+        sys.modules["dac.nn"] = dac.nn
+        sys.modules["dac.nn.quantize"] = dac.nn.quantize
+        _extra.extend(["dac", "dac.nn", "dac.nn.quantize"])
     if "librosa" in sys.modules:
-        yield
+        try:
+            yield
+        finally:
+            for name in _extra:
+                sys.modules.pop(name, None)
         return
     from seedvc_tpu.dsp.mel import mel_filterbank
 
@@ -61,7 +92,7 @@ def librosa_stub():
     try:
         yield
     finally:
-        for name in ("librosa", "librosa.filters", "librosa.util"):
+        for name in ("librosa", "librosa.filters", "librosa.util", *_extra):
             sys.modules.pop(name, None)
 
 
