@@ -1,0 +1,261 @@
+"""v2 trainer: joint AR (CE) + CFM (flow-matching) fine-tuning.
+
+Re-design of ``train_v2.py``: the frozen content extractors (SSL + ASTRAL
+quantizers) and CAMPPlus produce the batch features; the trainable unit is
+{DiTV2, cfm length regulator, AR, ar length regulator}, selected by
+``train_ar`` / ``train_cfm`` (reference ``train_v2.py:260-271``).  One
+sharded SPMD step over the (data, model) mesh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from seedvc_tpu.core.config import LengthRegulatorConfig
+from seedvc_tpu.dsp.fbank import kaldi_fbank
+from seedvc_tpu.dsp.mel import MelFrontend
+from seedvc_tpu.core.config import SpectConfig
+from seedvc_tpu.models.ar import ARTransformer
+from seedvc_tpu.models.ar_train import ar_loss
+from seedvc_tpu.models.astral import AstralQuantizer
+from seedvc_tpu.models.campplus import CAMPPlus
+from seedvc_tpu.models.cfm_v2 import cfm_v2_loss
+from seedvc_tpu.models.dit_v2 import DiTV2
+from seedvc_tpu.models.regulator import InterpolateRegulator
+from seedvc_tpu.models.ssl import SSLEncoder
+from seedvc_tpu.nn.bsq import duration_reduction
+from seedvc_tpu.parallel.mesh import AXES, make_mesh
+from seedvc_tpu.parallel.sharding import logical_to_sharding
+from seedvc_tpu.pipelines.convert_v2 import V2Config
+from seedvc_tpu.train.dataset import Batch
+from seedvc_tpu.train.optim import make_optimizer, warmup_cosine
+
+
+@dataclass
+class TrainerV2Config:
+    batch_size: int = 2
+    max_steps: int = 1000
+    base_lr: float = 1e-4
+    warmup_steps: int = 100
+    grad_clip: float = 1000.0  # reference train_v2.py:747
+    train_ar: bool = True
+    train_cfm: bool = True
+    mel_bucket: int = 128
+    token_bucket: int = 64
+    seed: int = 1234
+
+
+class V2TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class TrainerV2:
+    def __init__(self, vcfg: V2Config, tcfg: TrainerV2Config, *,
+                 frozen_params: dict | None = None, n_model: int = 1):
+        self.vcfg = vcfg
+        self.tcfg = tcfg
+        self.mel_fn = MelFrontend(vcfg.sr, SpectConfig(n_mels=vcfg.n_mels))
+        key = jax.random.PRNGKey(tcfg.seed)
+        ks = jax.random.split(key, 10)
+        frozen_params = frozen_params or {}
+
+        # frozen encoders
+        self.ssl = SSLEncoder(vcfg.ssl)
+        self.p_ssl = frozen_params.get("ssl") or jax.jit(self.ssl.init)(
+            ks[0], jnp.zeros((1, 16000)))["params"]
+        self.narrow = AstralQuantizer(vcfg.narrow)
+        self.p_narrow = frozen_params.get("narrow") or jax.jit(self.narrow.init)(
+            ks[1], jnp.zeros((1, 50, vcfg.ssl.d_model)))["params"]
+        self.wide = AstralQuantizer(vcfg.wide)
+        self.p_wide = frozen_params.get("wide") or jax.jit(self.wide.init)(
+            ks[2], jnp.zeros((1, 50, vcfg.ssl.d_model)))["params"]
+        self.campplus = CAMPPlus(feat_dim=80,
+                                 embedding_size=vcfg.dit.style_encoder_dim)
+        self.p_campplus = frozen_params.get("campplus") or jax.jit(
+            self.campplus.init)(ks[3], jnp.zeros((1, 300, 80)))["params"]
+
+        # trainable modules
+        self.dit = DiTV2(vcfg.dit)
+        self.cfm_reg = InterpolateRegulator(LengthRegulatorConfig(
+            channels=vcfg.dit.content_dim, is_discrete=True,
+            content_codebook_size=vcfg.wide.codebook_size,
+            sampling_ratios=(1, 1, 1, 1)))
+        self.ar = ARTransformer(vcfg.ar)
+        self.ar_reg = InterpolateRegulator(LengthRegulatorConfig(
+            channels=vcfg.ar.dim, is_discrete=True,
+            content_codebook_size=vcfg.narrow.codebook_size,
+            sampling_ratios=()))
+
+        params = {
+            "dit": jax.jit(self.dit.init)(
+                ks[4], jnp.zeros((1, 16, vcfg.n_mels)),
+                jnp.zeros((1, 16, vcfg.n_mels)), jnp.array([16]),
+                jnp.zeros((1,)), jnp.zeros((1, vcfg.dit.style_encoder_dim)),
+                jnp.zeros((1, 16, vcfg.dit.content_dim)))["params"],
+            "cfm_reg": jax.jit(partial(self.cfm_reg.init, target_len=16))(
+                ks[5], jnp.zeros((1, 8), jnp.int32), jnp.array([16]))["params"],
+            "ar": jax.jit(partial(self.ar.init, method=self.ar.init_all))(
+                ks[6], jnp.zeros((1, 4), jnp.int32), jnp.arange(4)[None],
+                jnp.tril(jnp.ones((4, 4), bool))[None, None])["params"],
+            "ar_reg": jax.jit(partial(self.ar_reg.init, target_len=8))(
+                ks[7], jnp.zeros((1, 8), jnp.int32), jnp.array([8]))["params"],
+        }
+
+        n_devices = len(jax.devices())
+        n_data = n_devices // n_model
+        if tcfg.batch_size % n_data:
+            raise ValueError(f"batch_size must divide data axis {n_data}")
+        self.mesh = make_mesh(n_data=n_data, n_model=n_model)
+
+        schedule = warmup_cosine(tcfg.base_lr, tcfg.warmup_steps, tcfg.max_steps)
+        self.optimizer = make_optimizer(schedule, grad_clip=tcfg.grad_clip)
+        state = V2TrainState(params, self.optimizer.init(params),
+                             jnp.zeros((), jnp.int32))
+        self.state = V2TrainState(
+            jax.device_put(state.params,
+                           logical_to_sharding(state.params, self.mesh)),
+            jax.device_put(state.opt_state,
+                           logical_to_sharding(state.opt_state, self.mesh)),
+            state.step)
+
+        self._jit_ssl = jax.jit(lambda p, w: self.ssl.apply({"params": p}, w))
+        self._jit_quant = jax.jit(
+            lambda pn, pw, f: (self.narrow.apply({"params": pn}, f)[1],
+                               self.wide.apply({"params": pw}, f)[1]))
+        self._jit_style = jax.jit(
+            lambda p, f: self.campplus.apply({"params": p}, f))
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,),
+                             static_argnames=("mel_T", "ar_C", "ar_X", "tok_T"))
+
+    # ------------------------------------------------------------------
+    def _step_impl(self, state: V2TrainState, batch: dict, rng,
+                   *, mel_T: int, ar_C: int, ar_X: int, tok_T: int):
+        tcfg = self.tcfg
+
+        def loss_fn(params):
+            keys = jax.random.split(rng, 6)
+            total = jnp.zeros((), jnp.float32)
+            metrics = {}
+            if tcfg.train_cfm:
+                cond, _ = self.cfm_reg.apply(
+                    {"params": params["cfm_reg"]}, batch["wide_idx"],
+                    batch["mel_lens"], mel_T)
+                B = batch["mels"].shape[0]
+                frac = jax.random.uniform(keys[0], (B,))
+                prompt_lens = (frac * 0.5 * batch["mel_lens"]).astype(jnp.int32)
+                # whole-batch CFG dropout like the reference (:115-120)
+                pd = jax.random.bernoulli(keys[1], self.vcfg.dit.class_dropout_prob)
+                cdrop = jax.random.bernoulli(keys[2], 0.5) & pd
+                pdv = jnp.full((B,), pd, jnp.float32)
+                cdv = jnp.full((B,), cdrop, jnp.float32)
+
+                def estimate(x, px, l, t, s, m):
+                    return self.dit.apply({"params": params["dit"]}, x, px, l,
+                                          t, s, m, prompt_drop=pdv,
+                                          content_drop=cdv)
+
+                loss_cfm = cfm_v2_loss(
+                    estimate, batch["mels"], batch["mel_lens"], prompt_lens,
+                    cond, batch["style"], rng_t=keys[3], rng_noise=keys[4])
+                total = total + loss_cfm
+                metrics["loss_cfm"] = loss_cfm
+            if tcfg.train_ar:
+                cond_emb, _ = self.ar_reg.apply(
+                    {"params": params["ar_reg"]}, batch["ar_cond_idx"],
+                    batch["ar_cond_lens"], ar_C)
+                loss_ar = ar_loss(self.ar, {"params": params["ar"]}, cond_emb,
+                                  batch["ar_cond_lens"], batch["wide_idx"][:, :ar_X],
+                                  jnp.minimum(batch["token_lens"], ar_X))
+                total = total + loss_ar
+                metrics["loss_ar"] = loss_ar
+            return total, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt = self.optimizer.update(grads, state.opt_state,
+                                                 state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return V2TrainState(new_params, new_opt, state.step + 1), metrics
+
+    # ------------------------------------------------------------------
+    def prepare_batch(self, batch: Batch) -> tuple[dict, dict]:
+        tcfg = self.tcfg
+        vcfg = self.vcfg
+        B = batch.waves.shape[0]
+
+        # mels (bucketed, pad -10)
+        mel_lens = batch.wave_lengths // vcfg.hop
+        mel_T = int(-(-int(mel_lens.max()) // tcfg.mel_bucket) * tcfg.mel_bucket)
+        waves = np.zeros((B, mel_T * vcfg.hop), np.float32)
+        n = min(waves.shape[1], batch.waves.shape[1])
+        waves[:, :n] = batch.waves[:, :n]
+        mels = np.asarray(self.mel_fn(jnp.asarray(waves)))
+        posm = np.arange(mel_T)[None, :]
+        mels = np.where((posm < mel_lens[:, None])[..., None], mels, -10.0)
+
+        # content tokens
+        bucket = 5 * 16000
+        w16_T = -(-batch.waves_16k.shape[1] // bucket) * bucket
+        w16 = np.zeros((B, w16_T), np.float32)
+        w16[:, : batch.waves_16k.shape[1]] = batch.waves_16k
+        feats = self._jit_ssl(self.p_ssl, jnp.asarray(w16))
+        idx_n, idx_w = self._jit_quant(self.p_narrow, self.p_wide, feats)
+        token_lens = (batch.wave_16k_lengths // 320).astype(np.int32)
+        tok_T = int(-(-int(token_lens.max()) // tcfg.token_bucket)
+                    * tcfg.token_bucket)
+        idx_n = np.asarray(idx_n)[:, :tok_T]
+        idx_w = np.asarray(idx_w)[:, :tok_T]
+        posT = np.arange(idx_w.shape[1])[None, :]
+        idx_w = np.where(posT < token_lens[:, None], idx_w, 0)
+
+        # duration-reduced AR condition (host-side, data dependent)
+        ar_cond_lens = np.zeros(B, np.int32)
+        reduced = []
+        for b in range(B):
+            r, nr = duration_reduction(idx_n[b, : token_lens[b]])
+            reduced.append(r)
+            ar_cond_lens[b] = nr
+        ar_C = int(-(-max(int(ar_cond_lens.max()), 1) // tcfg.token_bucket)
+                   * tcfg.token_bucket)
+        ar_cond_idx = np.zeros((B, ar_C), np.int64)
+        for b, r in enumerate(reduced):
+            ar_cond_idx[b, : len(r)] = r
+
+        # style
+        fb = kaldi_fbank(jnp.asarray(batch.waves_16k))
+        fb = fb - fb.mean(axis=1, keepdims=True)
+        style = self._jit_style(self.p_campplus, fb)
+
+        feats_dict = {
+            "mels": jnp.asarray(mels),
+            "mel_lens": jnp.asarray(mel_lens.astype(np.int32)),
+            "wide_idx": jnp.asarray(idx_w),
+            "token_lens": jnp.asarray(token_lens),
+            "ar_cond_idx": jnp.asarray(ar_cond_idx),
+            "ar_cond_lens": jnp.asarray(ar_cond_lens),
+            "style": style,
+        }
+        dims = {"mel_T": mel_T, "ar_C": ar_C, "ar_X": idx_w.shape[1],
+                "tok_T": tok_T}
+        return feats_dict, dims
+
+    def train_step(self, batch: Batch, rng) -> dict:
+        feats, dims = self.prepare_batch(batch)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        feats = {k: jax.device_put(v, NamedSharding(
+            self.mesh, P(AXES.data, *([None] * (v.ndim - 1)))))
+            for k, v in feats.items()}
+        self.state, metrics = self._step(self.state, feats, rng, **dims)
+        return {k: float(v) for k, v in metrics.items()}
