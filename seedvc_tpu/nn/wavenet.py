@@ -27,6 +27,9 @@ class WaveNet(nn.Module):
     n_layers: int
     gin_channels: int = 0
     p_dropout: float = 0.0
+    # "reflect": reference SConv1d behaviour (DiT post-net);
+    # "zero": plain VITS WN (OpenVoice converter).
+    pad_mode: str = "reflect"
 
     @nn.compact
     def __call__(
@@ -53,9 +56,10 @@ class WaveNet(nn.Module):
         for i in range(self.n_layers):
             dilation = self.dilation_rate ** i
             # The reference's SConv1d reflect-pads symmetrically and runs the
-            # conv unpadded (modules/encodec.py:212-228) — match that.
+            # conv unpadded (modules/encodec.py:212-228); VITS WN zero-pads.
             pad = (self.kernel_size - 1) * dilation // 2
-            x_pad = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+            mode = "reflect" if self.pad_mode == "reflect" else "constant"
+            x_pad = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode=mode)
             x_in = nn.Conv(
                 2 * C, (self.kernel_size,), kernel_dilation=dilation,
                 padding="VALID", name=f"in_layers_{i}", dtype=x.dtype,

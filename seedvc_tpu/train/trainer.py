@@ -69,6 +69,7 @@ class Trainer:
     def __init__(self, cfg: SeedVCConfig, tcfg: TrainerConfig,
                  whisper_cfg: WhisperEncoderConfig = WHISPER_SMALL,
                  whisper_params=None, campplus_params=None, vc_params=None,
+                 openvoice_params=None, se_db: Optional[np.ndarray] = None,
                  n_model: int = 1):
         self.cfg = cfg
         self.tcfg = tcfg
@@ -128,6 +129,28 @@ class Trainer:
         self._jit_style = jax.jit(
             lambda p, f: self.campplus.apply({"params": p}, f))
 
+        # Faithful timbre perturbation: the OpenVoice VITS converter
+        # (reference train.py:544-551, :770-801), used when its converted
+        # checkpoint is provided; otherwise the resample-based fallback.
+        self.openvoice_params = openvoice_params
+        self.se_db = se_db
+        if openvoice_params is not None:
+            from seedvc_tpu.models.openvoice import (
+                OpenVoiceConfig, ToneColorConverter, linear_spectrogram)
+
+            self._ov = ToneColorConverter(OpenVoiceConfig())
+
+            @jax.jit
+            def ov_convert(p, waves, spec_lens, se_tgt, noise):
+                spec = linear_spectrogram(waves)
+                se_src = self._ov.apply({"params": p}, spec,
+                                        method=self._ov.extract_se)
+                return self._ov.apply({"params": p}, spec, spec_lens, se_src,
+                                      se_tgt, noise, 0.3,
+                                      method=self._ov.voice_conversion)
+
+            self._ov_convert = ov_convert
+
         self.ema_loss: Optional[float] = None
         self.best_ema: float = float("inf")
         self.plateau_count = 0
@@ -150,8 +173,13 @@ class Trainer:
         padded[:, : waves_16k.shape[1]] = waves_16k[:, :chunk]
         return self._jit_whisper(self.whisper_params, jnp.asarray(padded))
 
-    def _perturb(self, waves_16k: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-        """Timbre perturbation by random-rate resampling (formant shift)."""
+    def _perturb(self, waves_16k: np.ndarray, rng: np.random.Generator,
+                 waves_sr: Optional[np.ndarray] = None,
+                 step: int = 0) -> np.ndarray:
+        """Timbre perturbation of the semantic-encoder input."""
+        if self.openvoice_params is not None and waves_sr is not None:
+            return self._perturb_openvoice(waves_sr, rng, step)
+        # fallback: random-rate resampling (formant shift)
         rate = rng.uniform(self.tcfg.perturb_min, self.tcfg.perturb_max)
         num = max(int(round(16000 * rate / 50) * 50), 8000)
         warped = np.asarray(resample(jnp.asarray(waves_16k), 16000, num))
@@ -159,6 +187,34 @@ class Trainer:
         n = min(out.shape[1], warped.shape[1])
         out[:, :n] = warped[:, :n]
         return out
+
+    def _perturb_openvoice(self, waves_sr: np.ndarray,
+                           rng: np.random.Generator, step: int) -> np.ndarray:
+        """OpenVoice conversion to a deterministic reference SE
+        (reference se_db pick, train.py:779-783); output resampled to 16k."""
+        B, Tw = waves_sr.shape
+        spec_len = Tw // 256
+        from seedvc_tpu.models.openvoice import OpenVoiceConfig
+
+        cfg = OpenVoiceConfig()
+        if self.se_db is not None:
+            idx = (step * B + np.arange(B)) % len(self.se_db)
+            se_tgt = jnp.asarray(self.se_db[idx])
+        else:
+            # no SE bank: use a shuffled batch as targets
+            perm = rng.permutation(B)
+            from seedvc_tpu.models.openvoice import linear_spectrogram
+
+            spec = linear_spectrogram(jnp.asarray(waves_sr))
+            se_tgt = self._ov.apply({"params": self.openvoice_params}, spec,
+                                    method=self._ov.extract_se)[perm]
+        noise = jnp.asarray(
+            rng.standard_normal((B, spec_len, cfg.inter_channels))
+            .astype(np.float32))
+        converted = self._ov_convert(
+            self.openvoice_params, jnp.asarray(waves_sr[:, : spec_len * 256]),
+            jnp.full((B,), spec_len, jnp.int32), se_tgt, noise)
+        return np.asarray(resample(converted, self.sr, 16000))
 
     def prepare_batch(self, batch: Batch, rng: np.random.Generator) -> dict:
         tb = self.tcfg
@@ -177,8 +233,10 @@ class Trainer:
         mels = np.where((pos < mel_lens[:, None])[..., None], mels, -10.0)
 
         s_ori = self._semantic(batch.waves_16k, batch.wave_16k_lengths)
-        s_alt = self._semantic(self._perturb(batch.waves_16k, rng),
-                               batch.wave_16k_lengths)
+        s_alt = self._semantic(
+            self._perturb(batch.waves_16k, rng, waves_sr=waves,
+                          step=int(self.state.step)),
+            batch.wave_16k_lengths)
         n_s = min(s_ori.shape[1], s_alt.shape[1])
 
         feat = kaldi_fbank(jnp.asarray(batch.waves_16k))
