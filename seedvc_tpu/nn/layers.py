@@ -126,7 +126,7 @@ class Attention(nn.Module):
         if (self.use_flash and T % 512 == 0
                 and jax.default_backend() == "tpu"):
             from jax.experimental.pallas.ops.tpu.flash_attention import (
-                SegmentIds, flash_attention)
+                BlockSizes, SegmentIds, flash_attention)
 
             if mask is not None:
                 # key-padding mask (B, 1, 1|T, T) -> per-token segment ids
@@ -134,10 +134,17 @@ class Attention(nn.Module):
                 seg_ids = SegmentIds(q=seg, kv=seg)
             else:
                 seg_ids = None
+            bq = min(1024, T)
+            bk = min(512, T)
+            bs = BlockSizes(
+                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+                block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk,
+                block_q_dq=bq)
             out = flash_attention(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), segment_ids=seg_ids,
-                causal=False, sm_scale=scale)
+                causal=False, sm_scale=scale, block_sizes=bs)
             out = out.transpose(0, 2, 1, 3).astype(x.dtype)
         else:
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
