@@ -54,8 +54,14 @@ def main(argv=None):
         from seedvc_tpu.convert.dit import convert_vc_checkpoint
 
         ckpt = torch.load(args.dit, map_location="cpu", weights_only=False)
-        key = "ema" if args.use_ema and "ema" in ckpt else "net"
-        net = ckpt.get(key, ckpt)
+        net = ckpt.get("net", ckpt)
+        if args.use_ema and "ema" in ckpt:
+            # EMA weights are stored positionally, aligned with the param
+            # order minus 'input_pos' buffers (modules/commons.py:423-432).
+            for key in net:
+                names = [n for n in net[key] if "input_pos" not in n]
+                for n, t in zip(names, ckpt["ema"][key][0]):
+                    net[key][n] = t
         _save(args.out, "vc", convert_vc_checkpoint({"net": net},
                                                     cfg.model_params))
 

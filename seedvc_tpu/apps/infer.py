@@ -20,7 +20,8 @@ import sys
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="seedvc_tpu offline VC")
-    ap.add_argument("--source", required=True)
+    ap.add_argument("--source", help="source wav (or use --source-dir)")
+    ap.add_argument("--source-dir", help="batch mode: convert every audio file in this directory")
     ap.add_argument("--target", required=True, help="reference voice wav")
     ap.add_argument("--output", default="./out")
     ap.add_argument("--preset", default="whisper_small_wavenet")
@@ -51,27 +52,36 @@ def main(argv=None):
 
     converter = VoiceConverter(cfg, seed=args.seed, **params)
 
-    src, src_sr = load_wav(args.source)
-    ref, ref_sr = load_wav(args.target)
-    sr, wave, stats = converter.convert(
-        src, src_sr, ref, ref_sr,
-        diffusion_steps=args.diffusion_steps,
-        length_adjust=args.length_adjust,
-        cfg_rate=args.inference_cfg_rate,
-        seed=args.seed,
-    )
+    if args.source_dir:
+        from seedvc_tpu.train.dataset import scan_audio_files
 
-    os.makedirs(args.output, exist_ok=True)
-    src_name = os.path.splitext(os.path.basename(args.source))[0]
+        sources = scan_audio_files(args.source_dir)
+    elif args.source:
+        sources = [args.source]
+    else:
+        ap.error("one of --source / --source-dir is required")
+
+    ref, ref_sr = load_wav(args.target)
     ref_name = os.path.splitext(os.path.basename(args.target))[0]
-    out_path = os.path.join(
-        args.output,
-        f"vc_{src_name}_{ref_name}_{args.length_adjust}_{args.diffusion_steps}"
-        f"_{args.inference_cfg_rate}.wav")
-    save_wav(out_path, wave, sr)
-    print(f"RTF: {stats['rtf']:.4f}  ({stats['audio_seconds']:.2f}s audio in "
-          f"{stats['wall_seconds']:.2f}s, {stats['chunks']} chunks)")
-    print(f"saved: {out_path}")
+    os.makedirs(args.output, exist_ok=True)
+    for source in sources:
+        src, src_sr = load_wav(source)
+        sr, wave, stats = converter.convert(
+            src, src_sr, ref, ref_sr,
+            diffusion_steps=args.diffusion_steps,
+            length_adjust=args.length_adjust,
+            cfg_rate=args.inference_cfg_rate,
+            seed=args.seed,
+        )
+        src_name = os.path.splitext(os.path.basename(source))[0]
+        out_path = os.path.join(
+            args.output,
+            f"vc_{src_name}_{ref_name}_{args.length_adjust}"
+            f"_{args.diffusion_steps}_{args.inference_cfg_rate}.wav")
+        save_wav(out_path, wave, sr)
+        print(f"RTF: {stats['rtf']:.4f}  ({stats['audio_seconds']:.2f}s audio "
+              f"in {stats['wall_seconds']:.2f}s, {stats['chunks']} chunks)")
+        print(f"saved: {out_path}")
 
 
 if __name__ == "__main__":

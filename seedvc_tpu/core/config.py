@@ -220,7 +220,8 @@ def preset_whisper_small_wavenet() -> SeedVCConfig:
                 hidden_dim=512, num_heads=8, depth=13, in_channels=80,
                 final_layer_type="wavenet", content_dim=512,
                 long_skip_connection=True, uvit_skip_connection=True,
-                time_as_token=False, style_as_token=False),
+                time_as_token=False, style_as_token=False,
+                use_flash_attention=True),
             wavenet=WavenetConfig(hidden_dim=512, num_layers=8, kernel_size=5,
                                   dilation_rate=1, p_dropout=0.2),
         ),
@@ -246,7 +247,8 @@ def preset_xlsr_tiny() -> SeedVCConfig:
                 hidden_dim=384, num_heads=6, depth=9, in_channels=80,
                 final_layer_type="mlp", content_dim=384,
                 long_skip_connection=False, uvit_skip_connection=True,
-                time_as_token=True, style_as_token=True),
+                time_as_token=True, style_as_token=True,
+                use_flash_attention=True),
         ),
     )
 
@@ -270,7 +272,7 @@ def preset_whisper_base_f0_44k() -> SeedVCConfig:
                 final_layer_type="mlp", content_dim=768, f0_condition=True,
                 n_f0_bins=256, long_skip_connection=False,
                 uvit_skip_connection=True, time_as_token=False,
-                style_as_token=False),
+                style_as_token=False, use_flash_attention=True),
             wavenet=WavenetConfig(hidden_dim=768),
         ),
     )

@@ -81,7 +81,11 @@ class VoiceConverter:
         self.mel_fn = MelFrontend(self.sr, sp)
         self.n_mels = sp.n_mels
         self.prompt_cap = prompt_cap_frames
-        self.context = context_frames or int(self.sr // self.hop * 30)
+        if context_frames is None:
+            # ~30 s of mel frames, rounded DOWN to a multiple of 512 so the
+            # flash-attention path applies (falls back to einsum otherwise).
+            context_frames = max(int(self.sr // self.hop * 30) // 512, 1) * 512
+        self.context = context_frames
         self.source_window = self.context - self.prompt_cap
         self.compute_dtype = compute_dtype
 

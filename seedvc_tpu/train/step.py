@@ -54,21 +54,37 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 def make_sharded_train_step(model: VCModel,
                             optimizer: optax.GradientTransformation,
-                            mesh: Mesh):
-    """Build step_fn(state, batch, rng) -> (state, metrics), jitted SPMD."""
+                            mesh: Mesh,
+                            teacher_params=None,
+                            distill_weight: float = 0.5):
+    """Build step_fn(state, batch, rng) -> (state, metrics), jitted SPMD.
+
+    With ``teacher_params``, adds the reference's output-level distillation
+    loss (``train.py:871-887``): 0.5 * MSE between the student's and the
+    frozen teacher's estimator outputs on the same noised inputs (identical
+    rngs -> identical t/noise/prompt draws)."""
 
     replicated = NamedSharding(mesh, P())
 
     def loss_fn(params, batch, rng):
         keys = jax.random.split(rng, 4)
-        loss, _ = model.apply(
+        rngs = {"prompt": keys[0], "t": keys[1], "noise": keys[2],
+                "drop": keys[3]}
+        loss, out = model.apply(
             {"params": params},
             batch["s_alt"], batch["s_ori"], batch["mels"],
             batch["mel_lens"], batch["style"],
-            rngs_dict={"prompt": keys[0], "t": keys[1], "noise": keys[2],
-                       "drop": keys[3]},
-            deterministic=True,
+            rngs_dict=rngs, deterministic=True,
         )
+        if teacher_params is not None:
+            _, t_out = model.apply(
+                {"params": teacher_params},
+                batch["s_alt"], batch["s_ori"], batch["mels"],
+                batch["mel_lens"], batch["style"],
+                rngs_dict=rngs, deterministic=True,
+            )
+            t_out = jax.lax.stop_gradient(t_out)
+            loss = loss + distill_weight * jnp.mean((out - t_out) ** 2)
         return loss
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):

@@ -5,13 +5,13 @@ sharded SPMD train step (``train/step.py``):
 
 - frozen encoders (Whisper semantic, CAMPPlus style) run as fixed-shape
   jitted programs; the trainable unit is VCModel (regulator + CFM),
-- timbre perturbation: the reference runs the OpenVoice VITS converter on
-  each batch to make content features timbre-invariant (``train.py:544-551``,
-  ``:770-801``).  That 2.9k-LoC flow stack is a frozen third-party model; as
-  a TPU-native substitute this trainer applies NANSY-style random resampling
-  (rate 0.85-1.15) to the 16 kHz audio fed to the semantic encoder — the
-  same invariance pressure without a second network.  (The OpenVoice
-  converter itself is planned as a later checkpoint-converted addition.)
+- timbre perturbation: with ``openvoice_params``, the OpenVoice VITS
+  converter re-voices each batch exactly like the reference
+  (``train.py:544-551``, ``:770-801``; SEs from a ``se_db`` bank or the
+  shuffled batch).  Without it, a NANSY-style random-resampling fallback
+  (rate 0.85-1.15) provides the same timbre-invariance pressure.
+- optional output-level distillation vs a frozen teacher
+  (``teacher_params``; reference ``train.py:871-887``),
 - EMA-smoothed loss logging (0.99), plateau-based LR halving with early-stop
   patience (``train.py:1093-1141``), warmup schedule,
 - Orbax checkpointing (params/opt_state/step), keep newest 2, auto-resume
@@ -70,7 +70,7 @@ class Trainer:
                  whisper_cfg: WhisperEncoderConfig = WHISPER_SMALL,
                  whisper_params=None, campplus_params=None, vc_params=None,
                  openvoice_params=None, se_db: Optional[np.ndarray] = None,
-                 n_model: int = 1):
+                 teacher_params=None, n_model: int = 1):
         self.cfg = cfg
         self.tcfg = tcfg
         sp = cfg.preprocess_params.spect_params
@@ -122,7 +122,8 @@ class Trainer:
             state = init_state(self.model, self.optimizer, k3, example)
         self.state = shard_state(state, self.mesh)
         self.step_fn = make_sharded_train_step(self.model, self.optimizer,
-                                               self.mesh)
+                                               self.mesh,
+                                               teacher_params=teacher_params)
 
         self._jit_whisper = jax.jit(
             lambda p, w: self.whisper.apply({"params": p}, whisper_log_mel(w)))
