@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("--whisper", help="HF whisper model dir or .bin")
     ap.add_argument("--rmvpe", help="rmvpe.pt")
     ap.add_argument("--hift", help="hift.pt (CosyVoice)")
+    ap.add_argument("--astral-narrow", help="ASTRAL bsq32 checkpoint (v2)")
+    ap.add_argument("--astral-wide", help="ASTRAL bsq2048 checkpoint (v2)")
+    ap.add_argument("--hubert", help="HF hubert-large dir (v2 SSL)")
+    ap.add_argument("--openvoice", help="OpenVoiceV2 converter checkpoint.pth")
     ap.add_argument("--use-ema", action="store_true",
                     help="load EMA weights from the DiT checkpoint")
     args = ap.parse_args(argv)
@@ -110,6 +114,36 @@ def main(argv=None):
 
         sd = torch.load(args.hift, map_location="cpu", weights_only=False)
         _save(args.out, "vocoder", convert_hift(sd))
+
+    for flag, name in (("astral_narrow", "narrow"), ("astral_wide", "wide")):
+        path = getattr(args, flag)
+        if path:
+            from seedvc_tpu.convert.astral import convert_astral
+
+            sd = torch.load(path, map_location="cpu", weights_only=False)
+            _save(args.out, name, convert_astral(sd))
+
+    if args.hubert:
+        from seedvc_tpu.convert.ssl import convert_ssl
+
+        path = args.hubert
+        if os.path.isdir(path):
+            candidates = [os.path.join(path, n) for n in
+                          ("pytorch_model.bin", "model.safetensors")]
+            path = next(p for p in candidates if os.path.exists(p))
+        if path.endswith(".safetensors"):
+            from safetensors.torch import load_file
+
+            sd = load_file(path)
+        else:
+            sd = torch.load(path, map_location="cpu", weights_only=False)
+        _save(args.out, "ssl", convert_ssl(sd, n_layers=18))
+
+    if args.openvoice:
+        from seedvc_tpu.convert.openvoice import convert_openvoice
+
+        sd = torch.load(args.openvoice, map_location="cpu", weights_only=False)
+        _save(args.out, "openvoice", convert_openvoice(sd))
 
 
 if __name__ == "__main__":

@@ -65,25 +65,9 @@ def test_convnext_parity():
     model = ConvNeXtV2Stage(dim=32, intermediate_dim=96, num_blocks=3,
                             dilation=1, input_dim=24)
 
-    from seedvc_tpu.convert.torch_utils import _np, conv1d_kernel
+    from seedvc_tpu.convert.astral import convert_convnext_stage
 
-    sd = tm.state_dict()
-    params = {"input_projection": {"kernel": conv1d_kernel(sd["input_projection.weight"]),
-                                   "bias": _np(sd["input_projection.bias"])}}
-    for i in range(3):
-        t = f"blocks.{i}"
-        params[f"blocks_{i}"] = {
-            "dwconv": {"kernel": conv1d_kernel(sd[f"{t}.dwconv.weight"]),
-                       "bias": _np(sd[f"{t}.dwconv.bias"])},
-            "norm": {"scale": _np(sd[f"{t}.norm.weight"]),
-                     "bias": _np(sd[f"{t}.norm.bias"])},
-            "pwconv1": {"kernel": _np(sd[f"{t}.pwconv1.weight"]).T,
-                        "bias": _np(sd[f"{t}.pwconv1.bias"])},
-            "pwconv2": {"kernel": _np(sd[f"{t}.pwconv2.weight"]).T,
-                        "bias": _np(sd[f"{t}.pwconv2.bias"])},
-            "grn": {"gamma": _np(sd[f"{t}.grn.gamma"]),
-                    "beta": _np(sd[f"{t}.grn.beta"])},
-        }
+    params = convert_convnext_stage(tm.state_dict(), num_blocks=3)
 
     x = np.random.default_rng(1).standard_normal((1, 24, 50)).astype(np.float32)
     with torch.no_grad():
