@@ -8,9 +8,17 @@ Metrics:
 - SECS (speaker-embedding cosine similarity) via the framework's CAMPPlus
   embeddings (the reference offers resemblyzer/wavlm extractors — external
   checkpoints; CAMPPlus is the built-in extractor here).
-- WER/CER via a HF ASR pipeline if a local model dir is supplied
-  (``--asr-model``; the reference uses hubert-large-ls960-ft + jiwer).
-  Gated: skipped when unavailable (no network egress in this environment).
+- WER/CER via a *local* HF CTC ASR checkpoint (``--asr-model``; the
+  reference uses hubert-large-ls960-ft + jiwer — edit distances are
+  computed natively in ``seedvc_tpu.apps.metrics``). Ground-truth
+  transcripts come from ``--transcripts`` (TSV: filename<TAB>text, the
+  reference's index.tsv format, ``eval.py:334-338``); without them the
+  source's own ASR transcript is the reference text.
+- DNSMOS SIG/BAK/OVRL via ``--dnsmos-dir`` pointing at the published ONNX
+  models (gated on onnxruntime).
+- ``--baseline openvoice --baseline-checkpoint ov.pkl`` or
+  ``--baseline-cmd '... {source} {reference} {output}'`` score a baseline
+  system instead of the framework (reference ``baselines/*.py``).
 
     python -m seedvc_tpu.apps.eval --source-dir src/ --target-dir refs/ \
         --output out/ --checkpoint-dir ckpts/ --max-samples 20
@@ -43,7 +51,19 @@ def main(argv=None):
     ap.add_argument("--inference-cfg-rate", type=float, default=0.7)
     ap.add_argument("--max-samples", type=int, default=20)
     ap.add_argument("--asr-model", default=None,
-                    help="local HF ASR model dir for WER (optional)")
+                    help="local HF CTC ASR model dir for WER/CER (optional)")
+    ap.add_argument("--transcripts", default=None,
+                    help="TSV of filename<TAB>ground-truth text")
+    ap.add_argument("--dnsmos-dir", default=None,
+                    help="dir with sig_bak_ovr.onnx (needs onnxruntime)")
+    ap.add_argument("--baseline", default=None,
+                    choices=["openvoice", "command"],
+                    help="score a baseline system instead of the framework")
+    ap.add_argument("--baseline-checkpoint", default=None,
+                    help="openvoice baseline: converted openvoice.pkl")
+    ap.add_argument("--baseline-cmd", default=None,
+                    help="command baseline template with {source} "
+                         "{reference} {output}")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -66,6 +86,34 @@ def main(argv=None):
 
     converter = VoiceConverter(get_preset(args.preset), **params)
 
+    baseline = None
+    if args.baseline:
+        from seedvc_tpu.apps.baselines import get_baseline
+
+        baseline = get_baseline(
+            args.baseline, checkpoint_pkl=args.baseline_checkpoint,
+            template=args.baseline_cmd)
+
+    transcripts = {}
+    if args.transcripts:
+        with open(args.transcripts) as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 2:
+                    transcripts[os.path.splitext(parts[0])[0]] = parts[1]
+
+    transcriber = None
+    if args.asr_model:
+        from seedvc_tpu.apps.metrics import CTCTranscriber
+
+        transcriber = CTCTranscriber(args.asr_model)
+
+    dnsmos = None
+    if args.dnsmos_dir:
+        from seedvc_tpu.apps.metrics import DNSMOS
+
+        dnsmos = DNSMOS(args.dnsmos_dir)
+
     sources = scan_audio_files(args.source_dir)[: args.max_samples]
     targets = scan_audio_files(args.target_dir)
 
@@ -82,6 +130,9 @@ def main(argv=None):
             out_path = os.path.join(args.output, out_name)
             if os.path.exists(out_path):  # cache + resume (eval.py:361-368)
                 wave, sr = load_wav(out_path)
+            elif baseline is not None:
+                baseline.convert(src_path, tgt_path, out_path)
+                wave, sr = load_wav(out_path)
             else:
                 sr, wave, _ = converter.convert(
                     src, src_sr, ref, ref_sr,
@@ -90,29 +141,39 @@ def main(argv=None):
                 save_wav(out_path, wave, sr)
             conv_16k = np.asarray(resample(jnp.asarray(wave), sr, 16000))
             conv_emb = converter.compute_style(conv_16k)
-            s = secs(conv_emb, ref_emb)
-            results.append({"source": src_path, "target": tgt_path, "secs": s})
-            print(f"[{ti}:{si}] SECS={s:.4f} {out_name}")
+            row = {"source": src_path, "target": tgt_path,
+                   "secs": secs(conv_emb, ref_emb)}
 
-    mean_secs = float(np.mean([r["secs"] for r in results])) if results else 0.0
-    summary = {"mean_secs": mean_secs, "n": len(results)}
+            if transcriber is not None:
+                from seedvc_tpu.apps.metrics import cer, wer
 
-    if args.asr_model:
-        try:
-            summary.update(_wer(args.asr_model, results, args.output))
-        except Exception as e:  # gated: optional dependency/checkpoint
-            summary["wer_error"] = str(e)
+                hyp = transcriber.transcribe(conv_16k)
+                src_key = os.path.splitext(os.path.basename(src_path))[0]
+                ref_text = transcripts.get(src_key)
+                if ref_text is None:
+                    src_16k = np.asarray(
+                        resample(jnp.asarray(src), src_sr, 16000))
+                    ref_text = transcriber.transcribe(src_16k)
+                row["wer"] = wer(ref_text, hyp)
+                row["cer"] = cer(ref_text, hyp)
+
+            if dnsmos is not None:
+                row.update({f"dnsmos_{k}": v
+                            for k, v in dnsmos.score(conv_16k).items()})
+
+            results.append(row)
+            print(f"[{ti}:{si}] SECS={row['secs']:.4f} {out_name}")
+
+    summary = {"n": len(results)}
+    for metric in ("secs", "wer", "cer", "dnsmos_sig", "dnsmos_bak",
+                   "dnsmos_ovrl"):
+        vals = [r[metric] for r in results if metric in r]
+        if vals:
+            summary[f"mean_{metric}"] = float(np.mean(vals))
 
     with open(os.path.join(args.output, "results.json"), "w") as f:
         json.dump({"summary": summary, "results": results}, f, indent=2)
     print(json.dumps(summary))
-
-
-def _wer(asr_model_dir: str, results, out_dir: str) -> dict:
-    """Optional WER scoring with a local HF CTC ASR model."""
-    raise NotImplementedError(
-        "WER scoring requires a local ASR checkpoint; none baked into this "
-        "environment")
 
 
 if __name__ == "__main__":

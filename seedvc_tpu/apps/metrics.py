@@ -1,0 +1,140 @@
+"""Objective evaluation metrics.
+
+Equivalents of the reference eval stack (``eval.py:291-…``, SURVEY §2.8):
+- WER/CER: the reference uses jiwer + hubert-large-ls960-ft ASR; jiwer is
+  not installed here, so the edit-distance math is implemented directly
+  (pure Python, testable) and the ASR transcriber is a gated adapter over a
+  *local* HF CTC checkpoint (no network egress in this environment).
+- DNSMOS: the reference scores with onnxruntime models
+  (``baselines/dnsmos/dnsmos_computor.py:27-45``); gated adapter below.
+- SECS lives in ``seedvc_tpu.apps.eval`` (CAMPPlus cosine similarity).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+
+def edit_distance(ref: Sequence, hyp: Sequence) -> int:
+    """Levenshtein distance over tokens (words or characters)."""
+    if not ref:
+        return len(hyp)
+    if not hyp:
+        return len(ref)
+    prev = list(range(len(hyp) + 1))
+    for i, r in enumerate(ref, 1):
+        cur = [i] + [0] * len(hyp)
+        for j, h in enumerate(hyp, 1):
+            cur[j] = min(prev[j] + 1,          # deletion
+                         cur[j - 1] + 1,       # insertion
+                         prev[j - 1] + (r != h))  # substitution
+        prev = cur
+    return prev[-1]
+
+
+def normalize_text(text: str) -> str:
+    """Uppercase, strip punctuation, collapse whitespace (jiwer-style)."""
+    text = re.sub(r"[^\w\s']", " ", text.upper())
+    return " ".join(text.split())
+
+
+def wer(ref_text: str, hyp_text: str) -> float:
+    """Word error rate between a reference transcript and a hypothesis."""
+    ref = normalize_text(ref_text).split()
+    hyp = normalize_text(hyp_text).split()
+    return edit_distance(ref, hyp) / max(len(ref), 1)
+
+
+def cer(ref_text: str, hyp_text: str) -> float:
+    """Character error rate (spaces excluded, as jiwer's cer does not
+    collapse them — we compare the normalized strings with spaces kept)."""
+    ref = normalize_text(ref_text)
+    hyp = normalize_text(hyp_text)
+    return edit_distance(ref, hyp) / max(len(ref), 1)
+
+
+class CTCTranscriber:
+    """ASR adapter over a local HF CTC checkpoint (hubert/wav2vec2 family).
+
+    Mirrors the reference's hubert-large-ls960-ft usage (``eval.py``);
+    requires a local model directory — raises a clear error otherwise.
+    """
+
+    def __init__(self, model_dir: str):
+        import torch  # cpu build is baked in
+        from transformers import AutoModelForCTC, AutoProcessor
+
+        self.torch = torch
+        self.processor = AutoProcessor.from_pretrained(model_dir)
+        self.model = AutoModelForCTC.from_pretrained(model_dir).eval()
+
+    def transcribe(self, wave_16k) -> str:
+        inputs = self.processor(wave_16k, sampling_rate=16000,
+                                return_tensors="pt")
+        with self.torch.no_grad():
+            logits = self.model(inputs.input_values).logits
+        ids = logits.argmax(-1)[0]
+        return self.processor.decode(ids)
+
+
+class DNSMOS:
+    """DNSMOS P.835 scorer over the published ONNX models.
+
+    Gated on onnxruntime (not installed in this build environment); point
+    ``model_dir`` at a directory containing ``sig_bak_ovr.onnx`` (and
+    optionally ``model_v8.onnx`` for the P.808 MOS), the same files the
+    reference ships under ``baselines/dnsmos/``.
+    """
+
+    INPUT_LENGTH_S = 9.01
+
+    def __init__(self, model_dir: str):
+        import os
+
+        try:
+            import onnxruntime as ort
+        except ImportError as e:
+            raise RuntimeError(
+                "DNSMOS scoring requires the optional 'onnxruntime' package"
+            ) from e
+        self.sess = ort.InferenceSession(
+            os.path.join(model_dir, "sig_bak_ovr.onnx"),
+            providers=["CPUExecutionProvider"])
+        p808 = os.path.join(model_dir, "model_v8.onnx")
+        self.sess_p808 = (ort.InferenceSession(
+            p808, providers=["CPUExecutionProvider"])
+            if os.path.exists(p808) else None)
+
+    @staticmethod
+    def _poly_fit(sig, bak, ovr):
+        # published polynomial mapping from raw to MOS scores
+        # (baselines/dnsmos/dnsmos_computor.py)
+        p_sig = (-0.08397278, 1.22083953, 0.0052439)
+        p_bak = (-0.13166888, 1.60915514, -0.39604546)
+        p_ovr = (-0.06766283, 1.11546468, 0.04602535)
+
+        def poly(p, x):
+            return p[0] * x ** 2 + p[1] * x + p[2]
+
+        return poly(p_sig, sig), poly(p_bak, bak), poly(p_ovr, ovr)
+
+    def score(self, wave_16k) -> dict:
+        import numpy as np
+
+        fs = 16000
+        need = int(self.INPUT_LENGTH_S * fs)
+        wave = np.asarray(wave_16k, np.float32)
+        while len(wave) < need:
+            wave = np.concatenate([wave, wave])
+        hop = fs  # 1 s hops over 9.01 s windows, as the reference scorer
+        sigs, baks, ovrs = [], [], []
+        for start in range(0, len(wave) - need + 1, hop):
+            seg = wave[start: start + need][None]
+            raw = self.sess.run(None, {"input_1": seg})[0][0]
+            s, b, o = self._poly_fit(*raw)
+            sigs.append(s)
+            baks.append(b)
+            ovrs.append(o)
+        return {"sig": float(np.mean(sigs)), "bak": float(np.mean(baks)),
+                "ovrl": float(np.mean(ovrs))}

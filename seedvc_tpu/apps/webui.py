@@ -1,0 +1,327 @@
+"""Browser frontend for offline conversion.
+
+TPU-native analogue of the reference Gradio apps (``app.py`` integrated
+v1+v2 tabs ``app.py:241-281``, ``app_vc.py``, ``app_svc.py`` with F0
+controls, ``app_vc_v2.py``) built on the standard library ``http.server`` —
+no Gradio dependency (not installed in this environment), same surface:
+upload source + reference audio, tweak the conversion knobs, get audio back.
+
+    python -m seedvc_tpu.apps.webui --port 7860 --checkpoint-dir ./checkpoints
+
+Endpoints:
+- ``GET  /``             single-page UI (VC / SVC / v2 tabs)
+- ``POST /api/convert``  multipart form -> ``audio/wav`` (stats in headers)
+- ``GET  /api/status``   loaded models + config, JSON
+
+Conversion requests are serialized with a lock: the TPU tunnel admits one
+compute process/stream at a time, and the converters cache compiled
+fixed-shape programs per instance.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import pickle
+import sys
+import threading
+from email.parser import BytesParser
+from email.policy import default as email_default
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def parse_multipart(content_type: str, body: bytes) -> dict:
+    """Parse a multipart/form-data body into {name: (filename, bytes)}."""
+    msg = BytesParser(policy=email_default).parsebytes(
+        b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body)
+    fields: dict[str, tuple[str | None, bytes]] = {}
+    if not msg.is_multipart():
+        return fields
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if name is None:
+            continue
+        payload = part.get_payload(decode=True) or b""
+        fields[str(name)] = (part.get_filename(), payload)
+    return fields
+
+
+def _f(fields, name, cast, default):
+    if name not in fields:
+        return default
+    raw = fields[name][1].decode().strip()
+    if raw == "":
+        return default
+    if cast is bool:
+        return raw.lower() in ("1", "true", "yes", "on", "t")
+    return cast(raw)
+
+
+class ConverterRegistry:
+    """Lazily builds and caches pipeline objects per mode."""
+
+    def __init__(self, checkpoint_dir=None, v2_checkpoint_dir=None):
+        self.checkpoint_dir = checkpoint_dir
+        self.v2_checkpoint_dir = v2_checkpoint_dir
+        self._cache: dict[str, object] = {}
+        self.lock = threading.Lock()  # serialize TPU work
+
+    def _v1_params(self) -> dict:
+        params = {}
+        if self.checkpoint_dir:
+            for name in ("vc", "whisper", "campplus", "vocoder", "rmvpe"):
+                path = os.path.join(self.checkpoint_dir, f"{name}.pkl")
+                if os.path.exists(path):
+                    with open(path, "rb") as f:
+                        params[f"{name}_params"] = pickle.load(f)
+        return params
+
+    def get(self, mode: str, preset: str):
+        key = f"{mode}:{preset}"
+        if key in self._cache:
+            return self._cache[key]
+        if mode == "v2":
+            from seedvc_tpu.pipelines.convert_v2 import VoiceConverterV2
+
+            params = None
+            if self.v2_checkpoint_dir:
+                params = {}
+                for name in ("vc", "ssl", "narrow", "wide", "campplus",
+                             "vocoder"):
+                    path = os.path.join(self.v2_checkpoint_dir, f"{name}.pkl")
+                    if os.path.exists(path):
+                        with open(path, "rb") as f:
+                            params[name] = pickle.load(f)
+                params = params or None
+            conv = VoiceConverterV2(params=params)
+        else:
+            from seedvc_tpu.core.config import get_preset
+            from seedvc_tpu.pipelines.convert import VoiceConverter
+
+            conv = VoiceConverter(get_preset(preset), **self._v1_params())
+        self._cache[key] = conv
+        return conv
+
+    def loaded(self) -> list[str]:
+        return sorted(self._cache)
+
+
+PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>seedvc_tpu</title>
+<style>
+ body{font-family:system-ui,sans-serif;max-width:880px;margin:2rem auto;padding:0 1rem;background:#14141f;color:#e8e8f0}
+ h1{font-size:1.4rem} .tabs button{margin-right:.5rem;padding:.4rem 1rem;border:1px solid #555;background:#222;color:#eee;border-radius:6px;cursor:pointer}
+ .tabs button.active{background:#3a5fcd;border-color:#3a5fcd}
+ fieldset{border:1px solid #333;border-radius:8px;margin:1rem 0;padding:1rem}
+ label{display:inline-block;min-width:14rem;margin:.25rem 0}
+ input[type=number]{width:6rem} .row{margin:.3rem 0}
+ #go{padding:.5rem 2rem;font-size:1rem;background:#2f9e44;color:#fff;border:0;border-radius:6px;cursor:pointer}
+ #status{margin-left:1rem;color:#aaa} audio{width:100%;margin-top:1rem}
+</style></head><body>
+<h1>seedvc_tpu — zero-shot voice conversion</h1>
+<div class="tabs">
+ <button id="tab-vc" class="active" onclick="setMode('vc')">Voice Conversion</button>
+ <button id="tab-svc" onclick="setMode('svc')">Singing (SVC / F0)</button>
+ <button id="tab-v2" onclick="setMode('v2')">V2 accent &amp; style</button>
+</div>
+<form id="form">
+ <fieldset><legend>Audio</legend>
+  <div class="row"><label>Source audio (wav)</label><input type="file" name="source" accept=".wav" required></div>
+  <div class="row"><label>Reference voice (wav)</label><input type="file" name="target" accept=".wav" required></div>
+ </fieldset>
+ <fieldset><legend>Common</legend>
+  <div class="row"><label>Diffusion steps</label><input type="number" name="diffusion_steps" value="25" min="1" max="200"></div>
+  <div class="row"><label>Length adjust</label><input type="number" name="length_adjust" value="1.0" step="0.05"></div>
+  <div class="row"><label>CFG rate</label><input type="number" name="cfg_rate" value="0.7" step="0.05"></div>
+ </fieldset>
+ <fieldset id="f-svc" style="display:none"><legend>F0 (singing)</legend>
+  <div class="row"><label>Auto F0 adjust</label><input type="checkbox" name="auto_f0_adjust" checked></div>
+  <div class="row"><label>Pitch shift (semitones)</label><input type="number" name="pitch_shift" value="0" step="1"></div>
+ </fieldset>
+ <fieldset id="f-v2" style="display:none"><legend>V2</legend>
+  <div class="row"><label>Convert style/accent (AR)</label><input type="checkbox" name="convert_style" checked></div>
+  <div class="row"><label>Anonymize</label><input type="checkbox" name="anonymization_only"></div>
+  <div class="row"><label>Intelligibility CFG</label><input type="number" name="intelligibility_cfg_rate" value="0.7" step="0.05"></div>
+  <div class="row"><label>Similarity CFG</label><input type="number" name="similarity_cfg_rate" value="0.7" step="0.05"></div>
+  <div class="row"><label>Top-p</label><input type="number" name="top_p" value="0.7" step="0.05"></div>
+  <div class="row"><label>Temperature</label><input type="number" name="temperature" value="0.7" step="0.05"></div>
+  <div class="row"><label>Repetition penalty</label><input type="number" name="repetition_penalty" value="1.5" step="0.1"></div>
+ </fieldset>
+ <button type="submit" id="go">Convert</button><span id="status"></span>
+</form>
+<audio id="player" controls style="display:none"></audio>
+<script>
+let mode='vc';
+function setMode(m){mode=m;
+ for(const t of ['vc','svc','v2']) document.getElementById('tab-'+t).classList.toggle('active',t===m);
+ document.getElementById('f-svc').style.display = m==='svc'?'':'none';
+ document.getElementById('f-v2').style.display = m==='v2'?'':'none';}
+document.getElementById('form').addEventListener('submit', async (e)=>{
+ e.preventDefault();
+ const fd=new FormData(e.target); fd.set('mode',mode);
+ const st=document.getElementById('status'); st.textContent='converting…';
+ const r=await fetch('/api/convert',{method:'POST',body:fd});
+ if(!r.ok){st.textContent='error: '+await r.text();return;}
+ st.textContent='RTF '+(r.headers.get('X-RTF')||'?');
+ const p=document.getElementById('player');
+ p.src=URL.createObjectURL(await r.blob()); p.style.display=''; p.play();
+});
+</script></body></html>"""
+
+
+class Handler(BaseHTTPRequestHandler):
+    server_version = "seedvc_tpu"
+
+    @property
+    def registry(self) -> ConverterRegistry:
+        return self.server.registry  # type: ignore[attr-defined]
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if self.server.verbose:  # type: ignore[attr-defined]
+            sys.stderr.write(fmt % args + "\n")
+
+    def _send(self, code: int, body: bytes, ctype: str, headers=()):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in headers:
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path in ("/", "/index.html"):
+            self._send(200, PAGE.encode(), "text/html; charset=utf-8")
+        elif self.path == "/api/status":
+            body = json.dumps({
+                "loaded": self.registry.loaded(),
+                "checkpoint_dir": self.registry.checkpoint_dir,
+            }).encode()
+            self._send(200, body, "application/json")
+        else:
+            self._send(404, b"not found", "text/plain")
+
+    def do_POST(self):
+        if self.path != "/api/convert":
+            self._send(404, b"not found", "text/plain")
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            fields = parse_multipart(self.headers.get("Content-Type", ""),
+                                     self.rfile.read(length))
+            wav_bytes, stats = self._convert(fields)
+        except Exception as e:  # surfaced to the browser
+            self._send(400, f"{type(e).__name__}: {e}".encode(), "text/plain")
+            return
+        self._send(200, wav_bytes, "audio/wav", headers=[
+            ("X-RTF", f"{stats.get('rtf', 0):.4f}"),
+            ("X-Stats", json.dumps(stats)),
+        ])
+
+    # ------------------------------------------------------------------
+    def _convert(self, fields: dict) -> tuple[bytes, dict]:
+        import numpy as np
+        from scipy.io import wavfile
+
+        from seedvc_tpu.apps.audio_io import load_wav, save_wav  # noqa: F401
+
+        for req in ("source", "target"):
+            if req not in fields or not fields[req][1]:
+                raise ValueError(f"missing '{req}' audio upload")
+
+        def read_wav(data: bytes):
+            sr, arr = wavfile.read(io.BytesIO(data))
+            if arr.dtype == np.int16:
+                wave = arr.astype(np.float32) / 32768.0
+            elif arr.dtype == np.int32:
+                wave = arr.astype(np.float32) / 2147483648.0
+            else:
+                wave = arr.astype(np.float32)
+            if wave.ndim == 2:
+                wave = wave.mean(axis=1)
+            return wave, sr
+
+        src, src_sr = read_wav(fields["source"][1])
+        ref, ref_sr = read_wav(fields["target"][1])
+
+        mode = _f(fields, "mode", str, "vc")
+        steps = _f(fields, "diffusion_steps", int, 25)
+        length_adjust = _f(fields, "length_adjust", float, 1.0)
+        cfg_rate = _f(fields, "cfg_rate", float, 0.7)
+        seed = _f(fields, "seed", int, 0)
+
+        registry = self.registry
+        with registry.lock:
+            if mode == "v2":
+                conv = registry.get("v2", "v2")
+                sr, out, stats = conv.convert_voice(
+                    src, src_sr, ref, ref_sr,
+                    convert_style=_f(fields, "convert_style", bool, True),
+                    anonymization_only=_f(fields, "anonymization_only", bool,
+                                          False),
+                    diffusion_steps=steps,
+                    length_adjust=length_adjust,
+                    intelligibility_cfg_rate=_f(
+                        fields, "intelligibility_cfg_rate", float, 0.7),
+                    similarity_cfg_rate=_f(
+                        fields, "similarity_cfg_rate", float, 0.7),
+                    top_p=_f(fields, "top_p", float, 0.7),
+                    temperature=_f(fields, "temperature", float, 0.7),
+                    repetition_penalty=_f(fields, "repetition_penalty", float,
+                                          1.5),
+                    seed=seed)
+            else:
+                # SVC uses the F0-conditioned 44.1 kHz preset (app_svc.py);
+                # plain VC the 22.05 kHz whisper-small one (app_vc.py).
+                default_preset = ("whisper_base_f0_44k" if mode == "svc"
+                                  else "whisper_small_wavenet")
+                preset = _f(fields, "preset", str, default_preset)
+                conv = registry.get("v1", preset)
+                sr, out, stats = conv.convert(
+                    src, src_sr, ref, ref_sr,
+                    diffusion_steps=steps,
+                    length_adjust=length_adjust,
+                    cfg_rate=cfg_rate,
+                    auto_f0_adjust=_f(fields, "auto_f0_adjust", bool, True),
+                    pitch_shift=_f(fields, "pitch_shift", float, 0.0),
+                    seed=seed)
+
+        buf = io.BytesIO()
+        wavfile.write(buf, sr, (np.clip(out, -1, 1) * 32767).astype(np.int16))
+        return buf.getvalue(), stats
+
+
+def make_server(host: str, port: int, registry: ConverterRegistry,
+                verbose: bool = False) -> ThreadingHTTPServer:
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.registry = registry  # type: ignore[attr-defined]
+    server.verbose = verbose  # type: ignore[attr-defined]
+    return server
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="seedvc_tpu web UI")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="converted v1 .pkl parameter trees")
+    ap.add_argument("--v2-checkpoint-dir", default=None)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    if not args.checkpoint_dir:
+        print("[warn] no --checkpoint-dir: models run with RANDOM weights",
+              file=sys.stderr)
+    registry = ConverterRegistry(args.checkpoint_dir, args.v2_checkpoint_dir)
+    server = make_server(args.host, args.port, registry, args.verbose)
+    print(f"serving on http://{args.host}:{args.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()
