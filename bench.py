@@ -31,7 +31,13 @@ BASELINE_AUDIO_SEC_PER_S = 1.2  # RTX 3060 realtime block ratio (see above)
 
 
 def main():
+    import argparse
     import dataclasses
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace-dir", default=None,
+                    help="write a jax.profiler trace of one sampler run")
+    bench_args, _ = ap.parse_known_args()
 
     cfg = get_preset("whisper_small_wavenet")
     # Pallas flash attention with tuned block sizes (block_q 1024 / block_k
@@ -86,6 +92,14 @@ def main():
         sample(variables, jax.random.PRNGKey(i + 1), cond, style).block_until_ready()
         times.append(time.perf_counter() - t0_)
     best = min(times)
+
+    if bench_args.trace_dir:
+        from seedvc_tpu.core.profiling import trace
+
+        with trace(bench_args.trace_dir):
+            sample(variables, jax.random.PRNGKey(99), cond,
+                   style).block_until_ready()
+        print(f"trace written to {bench_args.trace_dir}", file=sys.stderr)
 
     audio_seconds = (T - prompt_len) * hop / sr
     value = audio_seconds / best

@@ -31,6 +31,8 @@ def main(argv=None):
     ap.add_argument("--checkpoint-dir", default=None,
                     help="directory with converted .pkl parameter trees")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--profile", action="store_true",
+                    help="print per-stage device timings (adds host syncs)")
     args = ap.parse_args(argv)
 
     from seedvc_tpu.apps.audio_io import load_wav, save_wav
@@ -72,7 +74,12 @@ def main(argv=None):
             length_adjust=args.length_adjust,
             cfg_rate=args.inference_cfg_rate,
             seed=args.seed,
+            profile=args.profile,
         )
+        if args.profile:
+            for stage, rec in stats["stages"].items():
+                print(f"  {stage:<10} {rec['seconds']:7.3f}s "
+                      f"({rec['calls']} calls)")
         src_name = os.path.splitext(os.path.basename(source))[0]
         out_path = os.path.join(
             args.output,

@@ -330,39 +330,56 @@ class VoiceConverter:
         auto_f0_adjust: bool = True,
         pitch_shift: float = 0.0,
         seed: int = 0,
+        profile: bool = False,
     ) -> tuple[int, np.ndarray, dict]:
-        """Returns (sr, waveform, stats)."""
+        """Returns (sr, waveform, stats).
+
+        With ``profile=True`` each stage is synchronised (``np.asarray``)
+        before the clock stops, so ``stats['stages']`` attributes device
+        time accurately (at the cost of extra host syncs).
+        """
+        from seedvc_tpu.core.profiling import StageTimer
+
+        timer = StageTimer()
+        sync = np.asarray if profile else (lambda x: x)
         t_start = time.time()
-        src = np.asarray(resample(jnp.asarray(source), source_sr, self.sr))
-        ref = np.asarray(resample(jnp.asarray(reference), reference_sr, self.sr))
-        src_16k = np.asarray(resample(jnp.asarray(source), source_sr, 16000))
-        ref_16k = np.asarray(resample(jnp.asarray(reference), reference_sr, 16000))
+        with timer("resample"):
+            src = np.asarray(resample(jnp.asarray(source), source_sr, self.sr))
+            ref = np.asarray(resample(jnp.asarray(reference), reference_sr, self.sr))
+            src_16k = np.asarray(resample(jnp.asarray(source), source_sr, 16000))
+            ref_16k = np.asarray(resample(jnp.asarray(reference), reference_sr, 16000))
 
         # Cap the reference prompt (prompt_cap frames of mel).
         max_ref = self.prompt_cap * self.hop
         ref = ref[:max_ref]
         ref_16k = ref_16k[: int(len(ref) / self.sr * 16000)]
 
-        s_alt = self.semantic_features(src_16k)
-        s_ori = self.semantic_features(ref_16k)
+        with timer("semantic"):
+            s_alt = sync(self.semantic_features(src_16k))
+            s_ori = sync(self.semantic_features(ref_16k))
 
-        mel2 = self._mel_bucketed(ref)  # (1, P, n_mels)
+        with timer("mel+style"):
+            mel2 = self._mel_bucketed(ref)  # (1, P, n_mels)
+            style = sync(self.compute_style(ref_16k))
+            mel2 = jnp.asarray(sync(mel2))
         p_len = mel2.shape[1]
         src_mel_len = len(src) // self.hop
         target_len = int(src_mel_len * length_adjust)
 
-        style = self.compute_style(ref_16k)
-
         f0_alt = f0_ori = None
         if self.f0_condition:
-            shifted_f0, f0_ori_np = self.extract_f0(
-                src_16k, ref_16k, auto_f0_adjust=auto_f0_adjust,
-                pitch_shift=pitch_shift)
-            f0_alt = jnp.asarray(shifted_f0[None])
-            f0_ori = jnp.asarray(f0_ori_np[None])
+            with timer("f0"):
+                shifted_f0, f0_ori_np = self.extract_f0(
+                    src_16k, ref_16k, auto_f0_adjust=auto_f0_adjust,
+                    pitch_shift=pitch_shift)
+                f0_alt = jnp.asarray(shifted_f0[None])
+                f0_ori = jnp.asarray(f0_ori_np[None])
 
-        cond = self._regulate_bucketed(s_alt, target_len, f0_alt)
-        prompt_cond = self._regulate_bucketed(s_ori, p_len, f0_ori)
+        with timer("regulate"):
+            cond = sync(self._regulate_bucketed(jnp.asarray(s_alt),
+                                                target_len, f0_alt))
+            prompt_cond = sync(self._regulate_bucketed(jnp.asarray(s_ori),
+                                                       p_len, f0_ori))
 
         # Static context: [prompt (p_len) ‖ source chunk (<= source_window)]
         # padded to self.context frames.
@@ -389,14 +406,17 @@ class VoiceConverter:
             cat[:, p_len: p_len + w] = chunk
 
             key, sub = jax.random.split(key)
-            mel_out = self._sample_fn(
-                self.vc_params, sub, jnp.asarray(cat),
-                jnp.array([p_len + w]), jnp.asarray(prompt_mel_pad),
-                p_len, style, diffusion_steps, cfg_rate)
-            # Generated region: frames [p_len, p_len + w).
-            gen = jax.lax.dynamic_slice(
-                mel_out, (0, p_len, 0), (1, W, self.n_mels))
-            wave = np.asarray(self._vocode_fn(self.vocoder_params, gen))[0]
+            with timer("sample"):
+                mel_out = self._sample_fn(
+                    self.vc_params, sub, jnp.asarray(cat),
+                    jnp.array([p_len + w]), jnp.asarray(prompt_mel_pad),
+                    p_len, style, diffusion_steps, cfg_rate)
+                # Generated region: frames [p_len, p_len + w).
+                gen = sync(jax.lax.dynamic_slice(
+                    mel_out, (0, p_len, 0), (1, W, self.n_mels)))
+            with timer("vocode"):
+                wave = np.asarray(self._vocode_fn(self.vocoder_params,
+                                                  jnp.asarray(gen)))[0]
             wave = wave[: w * self.hop]
 
             n_chunks += 1
@@ -421,5 +441,6 @@ class VoiceConverter:
             "audio_seconds": len(out) / self.sr,
             "wall_seconds": dt,
             "chunks": n_chunks,
+            "stages": timer.report(),
         }
         return self.sr, out, stats

@@ -42,6 +42,7 @@ from seedvc_tpu.train.optim import make_optimizer, warmup_cosine
 class TrainerV2Config:
     batch_size: int = 2
     max_steps: int = 1000
+    epochs: int = 1000
     base_lr: float = 1e-4
     warmup_steps: int = 100
     grad_clip: float = 1000.0  # reference train_v2.py:747
@@ -50,6 +51,9 @@ class TrainerV2Config:
     mel_bucket: int = 128
     token_bucket: int = 64
     seed: int = 1234
+    run_dir: str | None = None   # enables Orbax checkpointing when set
+    save_interval: int = 500
+    log_interval: int = 10
 
 
 class V2TrainState(NamedTuple):
@@ -135,6 +139,16 @@ class TrainerV2:
             lambda p, f: self.campplus.apply({"params": p}, f))
         self._step = jax.jit(self._step_impl, donate_argnums=(0,),
                              static_argnames=("mel_T", "ar_C", "ar_X", "tok_T"))
+
+        self._ckpt_mgr = None
+        if tcfg.run_dir is not None:
+            import os
+
+            import orbax.checkpoint as ocp
+
+            self._ckpt_mgr = ocp.CheckpointManager(
+                os.path.abspath(tcfg.run_dir),
+                options=ocp.CheckpointManagerOptions(max_to_keep=2))
 
     # ------------------------------------------------------------------
     def _step_impl(self, state: V2TrainState, batch: dict, rng,
@@ -259,3 +273,66 @@ class TrainerV2:
             for k, v in feats.items()}
         self.state, metrics = self._step(self.state, feats, rng, **dims)
         return {k: float(v) for k, v in metrics.items()}
+
+    # ------------------------------------------------------------------
+    def save(self, step: int):
+        """One pytree checkpoint holding all trained modules (the reference
+        writes separate ``AR_epoch_*``/``CFM_epoch_*`` files,
+        ``train_v2.py:845-900``; the params dict keys {ar, ar_reg, dit,
+        cfm_reg} carry the same separation)."""
+        if self._ckpt_mgr is None:
+            return
+        import orbax.checkpoint as ocp
+
+        self._ckpt_mgr.save(
+            step,
+            args=ocp.args.PyTreeSave({
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+            }))
+        self._ckpt_mgr.wait_until_finished()
+
+    def restore_latest(self) -> bool:
+        if self._ckpt_mgr is None or self._ckpt_mgr.latest_step() is None:
+            return False
+        import orbax.checkpoint as ocp
+
+        restored = self._ckpt_mgr.restore(
+            self._ckpt_mgr.latest_step(),
+            args=ocp.args.PyTreeRestore({
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+            }))
+        self.state = V2TrainState(restored["params"], restored["opt_state"],
+                                  restored["step"])
+        return True
+
+    # ------------------------------------------------------------------
+    def train(self, dataset) -> int:
+        """Epoch loop with periodic logging + checkpointing
+        (reference ``train_v2.py:597-900``)."""
+        import time
+
+        tcfg = self.tcfg
+        key = jax.random.PRNGKey(tcfg.seed)
+        step = int(self.state.step)
+        t0 = time.time()
+        for epoch in range(tcfg.epochs):
+            for batch in dataset.batches(shuffle=True, epoch=epoch):
+                key, sub = jax.random.split(key)
+                metrics = self.train_step(batch, sub)
+                step += 1
+                if step % tcfg.log_interval == 0:
+                    parts = " ".join(f"{k} {v:.4f}"
+                                     for k, v in sorted(metrics.items()))
+                    print(f"step {step} {parts} "
+                          f"({(time.time() - t0) / step:.2f}s/step)")
+                if step % tcfg.save_interval == 0:
+                    self.save(step)
+                if step >= tcfg.max_steps:
+                    self.save(step)
+                    return step
+        self.save(step)
+        return step

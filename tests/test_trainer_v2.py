@@ -71,3 +71,31 @@ def test_trainer_v2_step():
     m2 = trainer.train_step(batch, jax.random.PRNGKey(2))
     assert int(trainer.state.step) == 2
     assert np.isfinite(m2["loss"])
+
+
+@pytest.mark.slow
+def test_trainer_v2_checkpoint_roundtrip(tmp_path):
+    """save() + restore_latest() via Orbax (reference train_v2.py:845-900
+    resume semantics: params/opt-state/step restored exactly)."""
+    tcfg = TrainerV2Config(batch_size=2, mel_bucket=64, token_bucket=32,
+                           run_dir=str(tmp_path / "run"), max_steps=3)
+    trainer = TrainerV2(tiny_v2cfg(), tcfg, n_model=4)
+    rng = np.random.default_rng(0)
+    B, T = 2, 33000
+    waves = (rng.standard_normal((B, T)) * 0.1).astype(np.float32)
+    batch = Batch(waves, waves[:, :24000], np.array([T, T - 4000], np.int32),
+                  np.array([24000, 21000], np.int32))
+    trainer.train_step(batch, jax.random.PRNGKey(1))
+    trainer.save(1)
+    leaf_before = np.asarray(
+        jax.tree_util.tree_leaves(trainer.state.params)[0]).copy()
+
+    trainer2 = TrainerV2(tiny_v2cfg(), tcfg, n_model=4)
+    assert trainer2.restore_latest()
+    assert int(trainer2.state.step) == 1
+    leaf_after = np.asarray(
+        jax.tree_util.tree_leaves(trainer2.state.params)[0])
+    np.testing.assert_array_equal(leaf_before, leaf_after)
+    # training resumes from restored state
+    m = trainer2.train_step(batch, jax.random.PRNGKey(2))
+    assert np.isfinite(m["loss"]) and int(trainer2.state.step) == 2
