@@ -211,3 +211,69 @@ class ToneColorConverter(nn.Module):
         z_hat = self.flow(z_p, mask, g_tgt[:, None, :], reverse=True)
         g_dec = jnp.zeros_like(g_tgt) if c.zero_g else g_tgt
         return self.dec(z_hat * mask, g_dec)
+
+
+# ---------------------------------------------------------------------------
+# Speaker-embedding extraction over VAD segments (host-side utility).
+# Reference: ``modules/openvoice/se_extractor.py`` — ``get_se`` splits the
+# audio into voiced segments and averages the ReferenceEncoder embedding over
+# them (``se_extractor.py``; called with vad=False by ``baselines/openvoice.py``).
+# The reference's splitter uses whisper/silero models; the built-in
+# equivalent here is an RMS-energy segmenter (same gating policy as the
+# streaming pipeline's VAD substitute).
+# ---------------------------------------------------------------------------
+
+def split_segments_by_energy(wave: np.ndarray, sr: int, *,
+                             frame_sec: float = 0.05,
+                             threshold_db: float = -40.0,
+                             min_sec: float = 1.5,
+                             max_sec: float = 10.0) -> list[np.ndarray]:
+    """Split a waveform into voiced segments by frame RMS energy.
+
+    Returns a list of segments between ``min_sec`` and ``max_sec`` long;
+    falls back to the whole utterance when nothing passes the gate.
+    """
+    frame = max(int(frame_sec * sr), 1)
+    n_frames = len(wave) // frame
+    if n_frames == 0:
+        return [wave]
+    frames = wave[: n_frames * frame].reshape(n_frames, frame)
+    rms_db = 10.0 * np.log10(np.mean(frames ** 2, axis=1) + 1e-10)
+    voiced = rms_db > threshold_db
+
+    segments: list[np.ndarray] = []
+    start = None
+    for i, v in enumerate(np.concatenate([voiced, [False]])):
+        if v and start is None:
+            start = i
+        elif not v and start is not None:
+            seg = wave[start * frame: i * frame]
+            start = None
+            # split over-long runs, keep >= min_sec pieces
+            max_len = int(max_sec * sr)
+            for off in range(0, len(seg), max_len):
+                piece = seg[off: off + max_len]
+                if len(piece) >= min_sec * sr:
+                    segments.append(piece)
+    return segments or [wave]
+
+
+def get_se(wave: np.ndarray, sr: int, extract_fn, *,
+           spec_sr: int = 22050, vad: bool = True) -> np.ndarray:
+    """Average speaker embedding over (optionally VAD-split) segments.
+
+    ``extract_fn(spec)`` maps a (1, T, spec_ch) linear spectrogram to a
+    (1, gin) embedding — typically a jitted ``ToneColorConverter.extract_se``
+    apply.  Mirrors ``se_extractor.get_se`` semantics.
+    """
+    from seedvc_tpu.dsp.resample import resample
+
+    if sr != spec_sr:
+        wave = np.asarray(resample(jnp.asarray(wave), sr, spec_sr))
+        sr = spec_sr
+    segments = split_segments_by_energy(wave, sr) if vad else [wave]
+    embs = []
+    for seg in segments:
+        spec = linear_spectrogram(jnp.asarray(seg[None]))
+        embs.append(np.asarray(extract_fn(spec))[0])
+    return np.mean(np.stack(embs), axis=0)

@@ -52,6 +52,37 @@ def nearest_interpolate(x: jax.Array, target_len: int) -> jax.Array:
     return x[:, idx, :]
 
 
+class VectorQuantize(nn.Module):
+    """DAC-style VQ bottleneck (reference ``length_regulator.py:88,136-139``
+    builds ``dac.nn.quantize.VectorQuantize(channels, codebook_size, 8)``):
+    project to a low-dim code space, L2-normalised nearest-neighbour lookup,
+    straight-through estimator, commitment + codebook losses."""
+
+    codebook_size: int
+    codebook_dim: int = 8
+    out_dim: int = 512
+
+    @nn.compact
+    def __call__(self, z: jax.Array):
+        z_e = nn.Dense(self.codebook_dim, name="in_proj")(z)  # (B, T, d)
+        codebook = self.param(
+            "codebook", nn.initializers.normal(1.0),
+            (self.codebook_size, self.codebook_dim))
+
+        e = z_e / (jnp.linalg.norm(z_e, axis=-1, keepdims=True) + 1e-8)
+        cb = codebook / (jnp.linalg.norm(codebook, axis=-1, keepdims=True)
+                         + 1e-8)
+        # squared L2 over normalised vectors == 2 - 2 cos sim: argmax sim
+        codes = jnp.argmax(jnp.einsum("btd,kd->btk", e, cb), axis=-1)
+        z_q = codebook[codes]
+
+        commitment_loss = jnp.mean((z_e - jax.lax.stop_gradient(z_q)) ** 2)
+        codebook_loss = jnp.mean((jax.lax.stop_gradient(z_e) - z_q) ** 2)
+        z_q = z_e + jax.lax.stop_gradient(z_q - z_e)  # straight-through
+        out_q = nn.Dense(self.out_dim, name="out_proj")(z_q)
+        return out_q, commitment_loss, codebook_loss, codes
+
+
 class InterpolateRegulator(nn.Module):
     cfg: LengthRegulatorConfig
 
@@ -62,15 +93,23 @@ class InterpolateRegulator(nn.Module):
         ylens: jax.Array,             # (B,) target mel lengths
         target_len: int,              # static padded output length
         f0: Optional[jax.Array] = None,  # (B, T_f0) Hz, optional
-    ) -> tuple[jax.Array, jax.Array]:
+        n_quantizers: Optional[jax.Array] = None,  # (B,) active codebooks
+    ):
         c = self.cfg
         if c.is_discrete:
             if x.ndim == 3:  # (B, n_q, T) multi-codebook
+                # Quantizer dropout (reference ``length_regulator.py:92-100``):
+                # codebook i+1 contributes only for samples with
+                # n_quantizers > i+1 (callers pass the per-sample random
+                # counts during training; None = all codebooks active).
+                if n_quantizers is None:
+                    n_quantizers = jnp.full((x.shape[0],), c.n_codebooks)
                 emb = nn.Embed(c.content_codebook_size, c.channels, name="embedding")
                 h = emb(x[:, 0])
                 for i in range(1, c.n_codebooks):
-                    h = h + nn.Embed(c.content_codebook_size, c.channels,
-                                     name=f"extra_codebooks_{i-1}")(x[:, i])
+                    gate = (n_quantizers > i)[:, None, None].astype(h.dtype)
+                    h = h + gate * nn.Embed(c.content_codebook_size, c.channels,
+                                            name=f"extra_codebooks_{i-1}")(x[:, i])
             else:
                 h = nn.Embed(c.content_codebook_size, c.channels, name="embedding")(x)
         else:
@@ -96,4 +135,19 @@ class InterpolateRegulator(nn.Module):
         out = nn.Dense(c.channels, name="out_proj")(h)
 
         mask = sequence_mask(ylens, target_len)[..., None].astype(out.dtype)
+        if c.vector_quantize and not c.is_discrete:
+            out_q, commit, cb_loss, codes = VectorQuantize(
+                c.content_codebook_size, out_dim=c.channels, name="vq")(out)
+            return out_q * mask, ylens, codes, commit, cb_loss
         return out * mask, ylens
+
+
+def random_n_quantizers(key: jax.Array, batch: int, n_codebooks: int,
+                        quantizer_dropout: float) -> jax.Array:
+    """Training-time per-sample active-codebook counts
+    (reference ``length_regulator.py:92-97``): a ``quantizer_dropout``
+    fraction of the batch uses a random count in [1, n_codebooks]."""
+    counts = jax.random.randint(key, (batch,), 1, n_codebooks + 1)
+    n_drop = int(batch * quantizer_dropout)
+    full = jnp.full((batch,), n_codebooks)
+    return jnp.where(jnp.arange(batch) < n_drop, counts, full)

@@ -201,6 +201,23 @@ class VoiceConverterV2:
         self,
         source: np.ndarray, source_sr: int,
         reference: np.ndarray, reference_sr: int,
+        **kwargs,
+    ) -> tuple[int, np.ndarray, dict]:
+        """Full conversion; drains :meth:`convert_voice_with_streaming`
+        (the reference CLI does the same, ``inference_v2.py:96-160``)."""
+        chunks = []
+        stats: dict = {"rtf": 0.0, "wall_seconds": 0.0, "wide_tokens": 0}
+        sr = self.cfg.sr
+        for sr, chunk, stats in self.convert_voice_with_streaming(
+                source, source_sr, reference, reference_sr, **kwargs):
+            chunks.append(chunk)
+        out = (np.concatenate(chunks) if chunks else np.zeros(0, np.float32))
+        return sr, out, stats
+
+    def convert_voice_with_streaming(
+        self,
+        source: np.ndarray, source_sr: int,
+        reference: np.ndarray, reference_sr: int,
         *,
         convert_style: bool = True,
         anonymization_only: bool = False,
@@ -212,7 +229,10 @@ class VoiceConverterV2:
         temperature: float = 0.7,
         repetition_penalty: float = 1.5,
         seed: int = 0,
-    ) -> tuple[int, np.ndarray, dict]:
+    ):
+        """Generator yielding ``(sr, wave_chunk, stats)`` as each crossfaded
+        chunk is vocoded (reference ``vc_wrapper.py:526-715`` streams mp3
+        chunks the same way; the final ``stats`` carries RTF and totals)."""
         cfg = self.cfg
         t_start = time.time()
         ref_cap = int(cfg.max_ref_sec * reference_sr)
@@ -272,10 +292,17 @@ class VoiceConverterV2:
         prompt_mel_pad = np.zeros((1, context, cfg.n_mels), np.float32)
         prompt_mel_pad[:, :p_len] = np.asarray(mel2)
         cond_np = np.asarray(cond)
-        chunks_out, prev_tail = [], None
+        prev_tail = None
+        emitted = 0
         overlap_wave = OVERLAP_FRAMES * cfg.hop
         processed = 0
         key = jax.random.PRNGKey(seed)
+
+        def _stats():
+            dt = time.time() - t_start
+            return {"rtf": dt / max(emitted / cfg.sr, 1e-9),
+                    "wall_seconds": dt,
+                    "wide_tokens": int(wide_tokens.shape[1])}
         while processed < target_len:
             chunk = cond_np[:, processed: processed + W]
             w = chunk.shape[1]
@@ -295,25 +322,19 @@ class VoiceConverterV2:
             wave = wave[: w * cfg.hop]
             if prev_tail is None:
                 if is_last:
-                    chunks_out.append(wave)
+                    piece = wave
                 else:
-                    chunks_out.append(wave[:-overlap_wave])
+                    piece = wave[:-overlap_wave]
                     prev_tail = wave[-overlap_wave:]
             elif is_last:
-                chunks_out.append(cosine_crossfade(prev_tail, wave, overlap_wave))
+                piece = cosine_crossfade(prev_tail, wave, overlap_wave)
             else:
-                chunks_out.append(cosine_crossfade(prev_tail, wave[:-overlap_wave],
-                                                   overlap_wave))
+                piece = cosine_crossfade(prev_tail, wave[:-overlap_wave],
+                                         overlap_wave)
                 prev_tail = wave[-overlap_wave:]
             processed += w if is_last else (w - OVERLAP_FRAMES)
-
-        out = np.concatenate(chunks_out) if chunks_out else np.zeros(0, np.float32)
-        dt = time.time() - t_start
-        return cfg.sr, out, {
-            "rtf": dt / max(len(out) / cfg.sr, 1e-9),
-            "wall_seconds": dt,
-            "wide_tokens": int(wide_tokens.shape[1]),
-        }
+            emitted += len(piece)
+            yield cfg.sr, piece, _stats()
 
     def convert_timbre(self, source, source_sr, reference, reference_sr, **kw):
         """Timbre-only conversion (no AR; ``vc_wrapper.py:364-419``)."""

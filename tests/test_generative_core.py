@@ -194,3 +194,71 @@ def test_regulator_shapes_and_interp():
     # f0=None path uses the learned mask token
     out2, _ = reg.apply(variables, x, ylens, T_out, None)
     assert out2.shape == (B, T_out, 32)
+
+
+def test_regulator_quantizer_dropout_gates_codebooks():
+    """Multi-codebook gating (reference length_regulator.py:92-100): with
+    n_quantizers=1, extra codebooks contribute nothing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seedvc_tpu.core.config import LengthRegulatorConfig
+    from seedvc_tpu.models.regulator import (InterpolateRegulator,
+                                             random_n_quantizers)
+
+    cfg = LengthRegulatorConfig(channels=16, is_discrete=True,
+                                content_codebook_size=8, n_codebooks=3,
+                                sampling_ratios=(1,), quantizer_dropout=0.5)
+    reg = InterpolateRegulator(cfg)
+    x = jnp.asarray(np.random.default_rng(0).integers(0, 8, (2, 3, 12)))
+    ylens = jnp.array([10, 8])
+    params = reg.init(jax.random.PRNGKey(0), x, ylens, 12)["params"]
+
+    out_full, _ = reg.apply({"params": params}, x, ylens, 12)
+    out_one, _ = reg.apply({"params": params}, x, ylens, 12,
+                           n_quantizers=jnp.array([1, 1]))
+    out_one2, _ = reg.apply(
+        {"params": params},
+        x.at[:, 1:].set(jnp.zeros_like(x[:, 1:])), ylens, 12,
+        n_quantizers=jnp.array([1, 1]))
+    assert not np.allclose(np.asarray(out_full), np.asarray(out_one))
+    # with one active codebook the extra token values are irrelevant
+    np.testing.assert_allclose(np.asarray(out_one), np.asarray(out_one2),
+                               atol=1e-6)
+
+    nq = random_n_quantizers(jax.random.PRNGKey(1), 8, 3, 0.5)
+    assert np.asarray(nq[4:]).tolist() == [3, 3, 3, 3]
+    assert ((np.asarray(nq[:4]) >= 1) & (np.asarray(nq[:4]) <= 3)).all()
+
+
+def test_regulator_vector_quantize_bottleneck():
+    """VQ bottleneck (reference length_regulator.py:88,136-139): 5-tuple
+    with codes and commitment/codebook losses; straight-through gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seedvc_tpu.core.config import LengthRegulatorConfig
+    from seedvc_tpu.models.regulator import InterpolateRegulator
+
+    cfg = LengthRegulatorConfig(channels=16, is_discrete=False, in_channels=8,
+                                content_codebook_size=32,
+                                sampling_ratios=(1,), vector_quantize=True)
+    reg = InterpolateRegulator(cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 6, 8)),
+                    jnp.float32)
+    ylens = jnp.array([12, 10])
+    params = reg.init(jax.random.PRNGKey(0), x, ylens, 12)["params"]
+    out, olens, codes, commit, cb = reg.apply({"params": params}, x, ylens, 12)
+    assert out.shape == (2, 12, 16)
+    assert codes.shape == (2, 12)
+    assert float(commit) >= 0 and float(cb) >= 0
+
+    def loss(p):
+        o, *_ = reg.apply({"params": p}, x, ylens, 12)
+        return jnp.sum(o ** 2)
+
+    grads = jax.grad(loss)(params)
+    g = jax.tree_util.tree_leaves(grads)
+    assert any(np.abs(np.asarray(leaf)).sum() > 0 for leaf in g)

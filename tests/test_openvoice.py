@@ -107,3 +107,46 @@ def test_extract_se_parity():
                                   jnp.asarray(spec.transpose(0, 2, 1)),
                                   method=model.extract_se))
     np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-2)
+
+
+def test_split_segments_by_energy():
+    import numpy as np
+
+    from seedvc_tpu.models.openvoice import split_segments_by_energy
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    loud = (rng.standard_normal(2 * sr) * 0.3).astype(np.float32)
+    silence = np.zeros(sr, np.float32)
+    wave = np.concatenate([silence, loud, silence, loud, silence])
+    segs = split_segments_by_energy(wave, sr, min_sec=1.5)
+    assert len(segs) == 2
+    for seg in segs:
+        assert len(seg) >= 1.5 * sr
+    # all-silent input falls back to the whole utterance
+    assert len(split_segments_by_energy(np.zeros(sr, np.float32), sr)) == 1
+
+
+def test_get_se_averages_segments():
+    import numpy as np
+
+    from seedvc_tpu.models.openvoice import get_se
+
+    calls = []
+
+    def fake_extract(spec):
+        calls.append(spec.shape)
+        return np.full((1, 4), float(len(calls)), np.float32)
+
+    sr = 22050
+    rng = np.random.default_rng(0)
+    loud = (rng.standard_normal(2 * sr) * 0.3).astype(np.float32)
+    wave = np.concatenate([np.zeros(sr, np.float32), loud,
+                           np.zeros(sr, np.float32), loud])
+    emb = get_se(wave, sr, fake_extract)
+    assert len(calls) == 2
+    np.testing.assert_allclose(emb, np.full(4, 1.5))  # mean of 1 and 2
+    # vad=False: one whole-utterance call
+    calls.clear()
+    get_se(wave, sr, fake_extract, vad=False)
+    assert len(calls) == 1

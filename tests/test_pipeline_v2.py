@@ -66,3 +66,23 @@ def test_convert_anonymize(v2):
                                        anonymization_only=True,
                                        diffusion_steps=2)
     assert np.isfinite(wave).all()
+
+
+@pytest.mark.slow
+def test_streaming_generator_matches_convert(v2):
+    """convert_voice == concatenation of convert_voice_with_streaming chunks
+    (reference vc_wrapper.py:526 streams; inference_v2.py:96-160 drains)."""
+    rng = np.random.default_rng(3)
+    # > one CFM window so at least 2 chunks stream out
+    src = (rng.standard_normal(3 * 22050) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal(11025) * 0.1).astype(np.float32)
+    kw = dict(convert_style=False, diffusion_steps=2, seed=7)
+    pieces = []
+    for sr, chunk, stats in v2.convert_voice_with_streaming(
+            src, 22050, ref, 22050, **kw):
+        pieces.append(chunk)
+    assert len(pieces) >= 2
+    streamed = np.concatenate(pieces)
+    sr2, full, _ = v2.convert_voice(src, 22050, ref, 22050, **kw)
+    assert sr2 == sr
+    np.testing.assert_allclose(streamed, full, atol=1e-6)
