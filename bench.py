@@ -69,6 +69,12 @@ def main():
     style = jax.random.normal(key, (B, mp.style_encoder.dim), compute_dtype)
     cond = jax.random.normal(key, (B, T, D), compute_dtype)
     variables = cfm.init(key, x0, x0, lens, t0, style, cond, method=cfm.estimate)
+    # bf16 inference params: halves weight HBM traffic and keeps RMSNorm /
+    # softmax f32 internally (reference runs fp16 on GPU by default).
+    # Measured: 14.0 -> 12.5 ms/step together with the 1280/1280 flash blocks.
+    variables = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        variables)
 
     @jax.jit
     def sample(variables, key, cond, style):

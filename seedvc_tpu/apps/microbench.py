@@ -1,0 +1,193 @@
+"""Per-component microbenchmarks with speed-of-light accounting.
+
+SURVEY §7.1 item 9: "per-kernel microbench (speed-of-light accounting)".
+Times the hot components of the flagship 98M whisper-small-wavenet sampler
+at the production shape (B=2 CFG stack, T=2560, bf16 activations) and
+reports ms plus achieved model FLOP/s so regressions and tuning wins are
+attributable per component.
+
+    python -m seedvc_tpu.apps.microbench              # all components
+    python -m seedvc_tpu.apps.microbench --only dit,attention
+
+Timing sync uses ``np.asarray`` (through the axon tunnel
+``block_until_ready`` under-reports; see .claude/skills/verify).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, params, x, iters: int = 3, inner: int = 20) -> float:
+    """Best-of-N per-call wall seconds for ``fn(params, x)`` where the
+    output has x's shape.
+
+    Two tunnel effects must be amortised: (1) syncing a multi-MB output
+    through axon costs more than the kernels under test — only a scalar
+    crosses the host boundary; (2) each dispatch has a ~25 ms round-trip —
+    the component runs ``inner`` times inside one jitted ``fori_loop``
+    (output fed back as input for a real data dependence) and the loop time
+    is divided by ``inner``.
+    """
+    def body(_, c):
+        return fn(params, c).astype(c.dtype)
+
+    looped = jax.jit(lambda p, c: jnp.sum(
+        jax.lax.fori_loop(0, inner, body, c).astype(jnp.float32)))
+    np.asarray(looped(params, x))  # compile + warm
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = looped(params, x)
+        np.asarray(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / inner
+
+
+def report(name: str, seconds: float, flops: float | None = None,
+           bytes_moved: float | None = None) -> dict:
+    row = {"name": name, "ms": round(seconds * 1e3, 3)}
+    if flops:
+        row["tflops_per_s"] = round(flops / seconds / 1e12, 2)
+    if bytes_moved:
+        row["gb_per_s"] = round(bytes_moved / seconds / 1e9, 1)
+    print(json.dumps(row))
+    return row
+
+
+def bench_attention(B=2, T=2560, H=8, hd=64, flash=True):
+    from seedvc_tpu.nn.layers import Attention
+
+    attn = Attention(H * hd, H, use_flash=flash)
+    x = jnp.zeros((B, T, H * hd), jnp.bfloat16)
+    freqs = jnp.zeros((T, hd // 2, 2), jnp.float32)
+    params = attn.init(jax.random.PRNGKey(0), x, freqs, None)["params"]
+    fn = jax.jit(lambda p, x: attn.apply({"params": p}, x, freqs, None))
+    dt = timeit(fn, params, x)
+    d = H * hd
+    flops = 2 * B * (4 * T * d * d          # qkv+o projections
+                     + 2 * T * T * d)       # qk + av
+    return report(f"attention(flash={flash}) B{B} T{T} H{H} hd{hd}", dt, flops)
+
+
+def bench_ffn(B=2, T=2560, d=512):
+    from seedvc_tpu.nn.layers import FeedForward, ffn_intermediate_size
+
+    inter = ffn_intermediate_size(d)
+    ffn = FeedForward(d, inter)
+    x = jnp.zeros((B, T, d), jnp.bfloat16)
+    params = ffn.init(jax.random.PRNGKey(0), x)["params"]
+    fn = jax.jit(lambda p, x: ffn.apply({"params": p}, x))
+    dt = timeit(fn, params, x)
+    flops = 2 * B * T * 3 * d * inter
+    return report(f"swiglu_ffn B{B} T{T} d{d} inter{inter}", dt, flops)
+
+
+def bench_wavenet(B=2, T=2560):
+    from seedvc_tpu.core.config import WavenetConfig
+    from seedvc_tpu.nn.wavenet import WaveNet
+
+    wn_cfg = WavenetConfig()
+    wn = WaveNet(wn_cfg.hidden_dim, kernel_size=wn_cfg.kernel_size,
+                 dilation_rate=wn_cfg.dilation_rate,
+                 n_layers=wn_cfg.num_layers, gin_channels=wn_cfg.hidden_dim)
+    x = jnp.zeros((B, T, wn_cfg.hidden_dim), jnp.bfloat16)
+    mask = jnp.ones((B, T, 1), jnp.bfloat16)
+    g = jnp.zeros((B, 1, wn_cfg.hidden_dim), jnp.bfloat16)
+    params = wn.init(jax.random.PRNGKey(0), x, mask, g=g)["params"]
+    fn = jax.jit(lambda p, x: wn.apply({"params": p}, x, mask, g=g))
+    dt = timeit(fn, params, x)
+    d = wn_cfg.hidden_dim
+    flops = 2 * B * T * wn_cfg.num_layers * (
+        d * 2 * d * wn_cfg.kernel_size   # in gated conv
+        + d * 2 * d)                     # res/skip 1x1
+    return report(f"wavenet_postnet B{B} T{T} d{d} L{wn_cfg.num_layers}",
+                  dt, flops)
+
+
+def bench_dit_step(B=1, T=2560, steps=1):
+    """One estimator call at the CFG-stacked shape (2B, T)."""
+    from seedvc_tpu.core.config import get_preset
+    from seedvc_tpu.models.cfm import CFM
+
+    cfg = get_preset("whisper_small_wavenet")
+    mp = dataclasses.replace(
+        cfg.model_params,
+        DiT=dataclasses.replace(cfg.model_params.DiT,
+                                use_flash_attention=True))
+    cfm = CFM(mp)
+    C, D = mp.DiT.in_channels, mp.DiT.content_dim
+    dt_ = jnp.bfloat16
+    x = jnp.zeros((2 * B, T, C), dt_)
+    p = jnp.zeros((2 * B, T, C), dt_)
+    lens = jnp.full((2 * B,), T, jnp.int32)
+    t = jnp.zeros((2 * B,), jnp.float32)
+    style = jnp.zeros((2 * B, mp.style_encoder.dim), dt_)
+    cond = jnp.zeros((2 * B, T, D), dt_)
+    key = jax.random.PRNGKey(0)
+    variables = cfm.init(key, x, p, lens, t, style, cond, method=cfm.estimate)
+    fn = jax.jit(lambda v, x: cfm.apply(v, x, p, lens, t, style, cond,
+                                        method=cfm.estimate))
+    dtm = timeit(fn, variables, x)
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(variables))
+    d_model = mp.DiT.hidden_dim
+    flops = (2 * n_params * 2 * B * T                      # matmul 2*P*tokens
+             + 2 * 2 * B * mp.DiT.depth * 2 * T * T * d_model)  # attention
+    return report(f"dit_estimator_cfg_call B{2*B} T{T} ({n_params/1e6:.0f}M)",
+                  dtm, flops)
+
+
+def bench_vocoder(B=1, T=512):
+    from seedvc_tpu.models.bigvgan import BIGVGAN_22K_80, BigVGAN
+
+    voc_cfg = BIGVGAN_22K_80
+    if jax.default_backend() == "tpu":
+        voc_cfg = dataclasses.replace(voc_cfg, use_pallas=True)
+    voc = BigVGAN(voc_cfg)
+    mel = jnp.zeros((B, T, 80), jnp.float32)
+    params = voc.init(jax.random.PRNGKey(0), mel)["params"]
+    # output is a waveform (different shape) — single-dispatch timing with a
+    # scalar reduction; the vocoder is big enough to dominate the round-trip.
+    fn = jax.jit(lambda p, m: jnp.sum(voc.apply({"params": p}, m)))
+    np.asarray(fn(params, mel))
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fn(params, mel))
+        dt = min(dt, time.perf_counter() - t0)
+    samples = B * T * 256
+    print(json.dumps({"name": f"bigvgan B{B} T{T}", "ms": round(dt * 1e3, 2),
+                      "audio_s_per_s": round(samples / 22050 / dt, 1)}))
+
+
+ALL = {
+    "attention": bench_attention,
+    "attention_xla": lambda: bench_attention(flash=False),
+    "ffn": bench_ffn,
+    "wavenet": bench_wavenet,
+    "dit": bench_dit_step,
+    "vocoder": bench_vocoder,
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of: " + ",".join(ALL))
+    args = ap.parse_args(argv)
+    names = args.only.split(",") if args.only else list(ALL)
+    print(f"backend: {jax.default_backend()}", flush=True)
+    for name in names:
+        ALL[name]()
+
+
+if __name__ == "__main__":
+    main()

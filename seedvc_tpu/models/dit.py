@@ -104,6 +104,8 @@ class DiT(nn.Module):
                 uvit_skip_connection=dc.uvit_skip_connection,
                 time_as_token=dc.time_as_token,
                 use_flash=dc.use_flash_attention,
+                flash_block_q=dc.flash_block_q,
+                flash_block_k=dc.flash_block_k,
             ),
             name="transformer",
         )

@@ -93,6 +93,8 @@ class Attention(nn.Module):
     n_local_heads: int | None = None  # KV heads (GQA); defaults to n_head
     head_dim: int | None = None
     use_flash: bool = False
+    flash_block_q: int = 1024
+    flash_block_k: int = 512
 
     @nn.compact
     def __call__(
@@ -134,8 +136,8 @@ class Attention(nn.Module):
                 seg_ids = SegmentIds(q=seg, kv=seg)
             else:
                 seg_ids = None
-            bq = min(1024, T)
-            bk = min(512, T)
+            bq = min(self.flash_block_q, T)
+            bk = min(self.flash_block_k, T)
             bs = BlockSizes(
                 block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
                 block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,

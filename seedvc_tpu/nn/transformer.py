@@ -43,6 +43,8 @@ class TransformerConfig:
     uvit_skip_connection: bool = False
     time_as_token: bool = False
     use_flash: bool = False
+    flash_block_q: int = 1024
+    flash_block_k: int = 512
 
 
 class TransformerBlock(nn.Module):
@@ -64,7 +66,8 @@ class TransformerBlock(nn.Module):
                 jnp.concatenate([x, skip_in], axis=-1))
         h = x + Attention(
             cfg.dim, cfg.n_head, cfg.n_local_heads, cfg.head_dim,
-            use_flash=cfg.use_flash, name="attention",
+            use_flash=cfg.use_flash, flash_block_q=cfg.flash_block_q,
+            flash_block_k=cfg.flash_block_k, name="attention",
         )(AdaptiveRMSNorm(cfg.dim, cfg.norm_eps, name="attention_norm")(x, c),
           freqs, mask)
         out = h + FeedForward(
