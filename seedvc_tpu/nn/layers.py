@@ -95,6 +95,10 @@ class Attention(nn.Module):
     use_flash: bool = False
     flash_block_q: int = 1024
     flash_block_k: int = 512
+    # "seedvc": custom bf16 Pallas kernel (ops/pallas/attention.py) — K/V
+    # resident in VMEM, fp32 softmax, bf16 MXU. "pallas_flash": the stock
+    # jax flash kernel (upcasts to f32).
+    flash_impl: str = "seedvc"
 
     @nn.compact
     def __call__(
@@ -126,6 +130,20 @@ class Attention(nn.Module):
         scale = 1.0 / math.sqrt(hd)
 
         if (self.use_flash and T % 512 == 0
+                and jax.default_backend() == "tpu"
+                and self.flash_impl == "seedvc"):
+            from seedvc_tpu.ops.pallas.attention import dit_attention
+
+            if mask is not None:
+                # prefix-valid key-padding mask -> per-sample lengths
+                lens = jnp.sum(mask[:, 0, -1, :].astype(jnp.int32), axis=-1)
+            else:
+                lens = None
+            out = dit_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), lens, block_q=512)
+            out = out.transpose(0, 2, 1, 3).astype(x.dtype)
+        elif (self.use_flash and T % 512 == 0
                 and jax.default_backend() == "tpu"):
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 BlockSizes, SegmentIds, flash_attention)

@@ -1,0 +1,123 @@
+"""Pallas TPU attention kernel for the DiT trunk (non-causal, key-padded).
+
+Why not ``jax.experimental.pallas.ops.tpu.flash_attention``: that kernel
+upcasts Q/K/V to float32 (observed ``f32[1,8,2560,64]`` custom-call operands
+on v5e), paying full-precision MXU passes and 2x the VMEM traffic.  At the
+DiT shapes (T<=2560, head_dim 64) the ENTIRE K and V for one (batch, head)
+fit in VMEM (~2x320 KB bf16), so no online-softmax streaming is needed at
+all: one program computes a (block_q, T) logit tile in fp32, a full softmax
+over the real keys, and the PV matmul — with Q/K/V kept in bf16 on the MXU
+and fp32 accumulation (``preferred_element_type``).
+
+Semantics match the reference SDPA path (``modules/diffusion_transformer.py:
+194-260``): scores scaled by 1/sqrt(d), key-padding mask (queries may attend
+only to keys < length), softmax in fp32.
+
+Grid: (B*H, T // block_q); K/V block indices are constant in the minor grid
+dimension, so Pallas fetches them once per (batch, head) and revisits them
+from VMEM for every query block.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attn_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                 masked: bool):
+    b = pl.program_id(0)
+    q = q_ref[0]                      # (bq, d) bf16
+    k = k_ref[0]                      # (T, d) bf16
+    v = v_ref[0]                      # (T, d) bf16
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (bq, T) f32
+
+    if masked:
+        n = lens_ref[b]
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(cols < n, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / denom).astype(q.dtype)   # bf16 probs onto the MXU
+
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "masked"))
+def dit_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                  lens: jax.Array | None = None, *,
+                  block_q: int = 512, masked: bool = True) -> jax.Array:
+    """q/k/v: (B, H, T, d); lens: (B,) valid key counts (None = all valid).
+
+    Returns (B, H, T, d) in q's dtype.  T must be a multiple of block_q
+    (the DiT pipeline pads its context to a multiple of 512).
+    """
+    B, H, T, d = q.shape
+    if T % block_q:
+        raise ValueError(f"T={T} not a multiple of block_q={block_q}")
+    scale = 1.0 / math.sqrt(d)
+    if lens is None:
+        lens = jnp.full((B,), T, jnp.int32)
+        masked = False
+
+    qf = q.reshape(B * H, T, d)
+    kf = k.reshape(B * H, T, d)
+    vf = v.reshape(B * H, T, d)
+    # per-(b,h) lens, indexed by program_id(0)
+    lens_bh = jnp.repeat(lens.astype(jnp.int32), H)
+
+    grid = (B * H, T // block_q)
+    kernel = functools.partial(_attn_kernel, scale=scale, masked=masked)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, lens: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, d), lambda b, i, lens: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, d), lambda b, i, lens: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, lens: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, T, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * T * T * d,
+            bytes_accessed=(3 * B * H * T * d + B * H * T * d) * 2,
+            transcendentals=B * H * T * T,
+        ),
+        interpret=(jax.default_backend() == "cpu"),
+    )(lens_bh, qf, kf, vf)
+    return out.reshape(B, H, T, d)
+
+
+def dit_attention_reference(q, k, v, lens=None):
+    """jnp reference for parity tests (same math, materialised logits)."""
+    B, H, T, d = q.shape
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) / math.sqrt(d)
+    if lens is not None:
+        mask = jnp.arange(T)[None, :] < lens[:, None]      # (B, T)
+        s = jnp.where(mask[:, None, None, :], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p,
+                      v.astype(jnp.float32)).astype(q.dtype)
