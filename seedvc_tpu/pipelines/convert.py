@@ -317,7 +317,26 @@ class VoiceConverter:
         return self._style_fn(self.campplus_params, feat)
 
     # ------------------------------------------------------------------
-    def convert(
+    def convert(self, source, source_sr, reference, reference_sr,
+                **kwargs) -> tuple[int, np.ndarray, dict]:
+        """Full conversion; drains :meth:`convert_with_streaming`.
+
+        Returns (sr, waveform, stats).  With ``profile=True`` each stage is
+        synchronised (``np.asarray``) before the clock stops, so
+        ``stats['stages']`` attributes device time accurately (at the cost
+        of extra host syncs).
+        """
+        chunks = []
+        stats: dict = {"rtf": 0.0, "audio_seconds": 0.0, "wall_seconds": 0.0,
+                       "chunks": 0, "stages": {}}
+        sr = self.sr
+        for sr, piece, stats in self.convert_with_streaming(
+                source, source_sr, reference, reference_sr, **kwargs):
+            chunks.append(piece)
+        out = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+        return sr, out, stats
+
+    def convert_with_streaming(
         self,
         source: np.ndarray,
         source_sr: int,
@@ -331,13 +350,10 @@ class VoiceConverter:
         pitch_shift: float = 0.0,
         seed: int = 0,
         profile: bool = False,
-    ) -> tuple[int, np.ndarray, dict]:
-        """Returns (sr, waveform, stats).
-
-        With ``profile=True`` each stage is synchronised (``np.asarray``)
-        before the clock stops, so ``stats['stages']`` attributes device
-        time accurately (at the cost of extra host syncs).
-        """
+    ):
+        """Generator yielding ``(sr, wave_chunk, stats)`` per crossfaded
+        chunk — the reference v1 wrapper streams chunks the same way
+        (``seed_vc_wrapper.py:201-286``)."""
         from seedvc_tpu.core.profiling import StageTimer
 
         timer = StageTimer()
@@ -387,13 +403,24 @@ class VoiceConverter:
         prompt_mel_pad[:, :p_len] = np.asarray(mel2)
 
         W = self.source_window
-        chunks_out = []
         prev_tail: Optional[np.ndarray] = None
         overlap_wave = OVERLAP_FRAMES * self.hop
         processed = 0
         n_chunks = 0
+        emitted = 0
         cond_np = np.asarray(cond)
         key = jax.random.PRNGKey(seed)
+
+        def _stats():
+            dt = time.time() - t_start
+            return {
+                "rtf": dt / max(emitted / self.sr, 1e-9),
+                "audio_seconds": emitted / self.sr,
+                "wall_seconds": dt,
+                "chunks": n_chunks,
+                "stages": timer.report(),
+            }
+
         while processed < target_len:
             chunk = cond_np[:, processed: processed + W]
             w = chunk.shape[1]
@@ -422,25 +449,16 @@ class VoiceConverter:
             n_chunks += 1
             if prev_tail is None:
                 if is_last:
-                    chunks_out.append(wave)
+                    piece = wave
                 else:
-                    chunks_out.append(wave[:-overlap_wave])
+                    piece = wave[:-overlap_wave]
                     prev_tail = wave[-overlap_wave:]
             elif is_last:
-                chunks_out.append(cosine_crossfade(prev_tail, wave, overlap_wave))
+                piece = cosine_crossfade(prev_tail, wave, overlap_wave)
             else:
-                chunks_out.append(
-                    cosine_crossfade(prev_tail, wave[:-overlap_wave], overlap_wave))
+                piece = cosine_crossfade(prev_tail, wave[:-overlap_wave],
+                                         overlap_wave)
                 prev_tail = wave[-overlap_wave:]
             processed += w if is_last else (w - OVERLAP_FRAMES)
-
-        out = np.concatenate(chunks_out)
-        dt = time.time() - t_start
-        stats = {
-            "rtf": dt / (len(out) / self.sr),
-            "audio_seconds": len(out) / self.sr,
-            "wall_seconds": dt,
-            "chunks": n_chunks,
-            "stages": timer.report(),
-        }
-        return self.sr, out, stats
+            emitted += len(piece)
+            yield self.sr, piece, _stats()

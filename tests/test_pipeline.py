@@ -72,3 +72,62 @@ def test_pipeline_end_to_end():
     # roughly the source duration (crossfade trims a bit)
     assert abs(len(wave) - len(src)) < 22050 * 0.5
     assert stats["chunks"] >= 1
+
+
+def test_convert_with_streaming_matches_convert():
+    """Streaming generator == drained convert (reference
+    seed_vc_wrapper.py:201-286 streams the same chunks)."""
+    import numpy as np
+
+    from tests_helpers_tiny import tiny_converter
+
+    vc = tiny_converter()
+    rng = np.random.default_rng(5)
+    # long enough for >= 2 chunks at context 192 / prompt_cap 64
+    src = (rng.standard_normal(22050 * 4) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal(11025) * 0.1).astype(np.float32)
+    kw = dict(diffusion_steps=2, seed=3)
+    pieces = []
+    for sr, piece, stats in vc.convert_with_streaming(src, 22050, ref, 22050,
+                                                      **kw):
+        pieces.append(piece)
+    assert len(pieces) >= 2
+    streamed = np.concatenate(pieces)
+    sr2, full, stats2 = vc.convert(src, 22050, ref, 22050, **kw)
+    np.testing.assert_allclose(streamed, full, atol=1e-6)
+    assert stats2["chunks"] == len(pieces)
+
+
+def test_seed_vc_wrapper_facade(monkeypatch):
+    """SeedVCWrapper lazily builds one converter per f0 mode and streams
+    through it (reference seed_vc_wrapper.py:447,468-475)."""
+    import numpy as np
+
+    import seedvc_tpu.pipelines.wrapper as W
+
+    built = []
+
+    class FakeConverter:
+        sr = 22050
+
+        def __init__(self, cfg, **params):
+            built.append(cfg.model_params.DiT.f0_condition)
+
+        def convert_with_streaming(self, *a, **kw):
+            yield 22050, np.ones(100, np.float32), {"rtf": 0.1}
+            yield 22050, np.ones(50, np.float32), {"rtf": 0.2}
+
+    monkeypatch.setattr(W, "VoiceConverter", FakeConverter)
+    wrap = W.SeedVCWrapper()
+    chunks = list(wrap.convert_voice(np.zeros(10), 22050, np.zeros(10), 22050,
+                                     f0_condition=False))
+    assert len(chunks) == 2 and built == [False]
+    # non-streaming mode concatenates
+    (sr, out, stats), = wrap.convert_voice(
+        np.zeros(10), 22050, np.zeros(10), 22050, f0_condition=False,
+        stream_output=False)
+    assert len(out) == 150
+    # f0 mode builds the 44k converter lazily
+    list(wrap.convert_voice(np.zeros(10), 22050, np.zeros(10), 22050,
+                            f0_condition=True))
+    assert built == [False, True]
