@@ -39,7 +39,6 @@ def main(argv=None):
     # whisper-small encoder stands in with the same budget class (768-d,
     # 12 layers).  Content dim follows the preset's regulator input.
     wcfg = WHISPER_SMALL
-    object.__setattr__ if False else None
     if cfg.model_params.length_regulator.in_channels != wcfg.d_model:
         wcfg = WhisperEncoderConfig(
             d_model=cfg.model_params.length_regulator.in_channels,
