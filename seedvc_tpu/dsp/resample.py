@@ -59,3 +59,23 @@ def resample(wave: jax.Array, orig_sr: int, new_sr: int) -> jax.Array:
     )  # (B, frames, new)
     y = y.reshape(y.shape[0], -1)[:, :target_len]
     return y[0] if squeeze else y
+
+
+def resample_host(wave, orig_sr: int, new_sr: int):
+    """Host-side polyphase resampling (scipy) for pipeline pre-processing.
+
+    Numerically equivalent class of kaiser-windowed polyphase filtering as
+    :func:`resample`, but runs on the host CPU: shipping a 30 s waveform to
+    the device and back just to decimate it costs more in transfers than the
+    arithmetic (the device version remains the right choice INSIDE jitted
+    programs, e.g. the fused streaming block).
+    """
+    import numpy as np
+    from scipy.signal import resample_poly
+
+    if orig_sr == new_sr:
+        return np.asarray(wave, np.float32)
+    g = math.gcd(orig_sr, new_sr)
+    out = resample_poly(np.asarray(wave, np.float32), new_sr // g,
+                        orig_sr // g, axis=-1)
+    return out.astype(np.float32)

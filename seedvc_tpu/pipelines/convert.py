@@ -30,7 +30,7 @@ import numpy as np
 from seedvc_tpu.core.config import SeedVCConfig, get_preset
 from seedvc_tpu.dsp.fbank import kaldi_fbank
 from seedvc_tpu.dsp.mel import MelFrontend
-from seedvc_tpu.dsp.resample import resample
+from seedvc_tpu.dsp.resample import resample, resample_host  # noqa: F401
 from seedvc_tpu.dsp.whisper_mel import whisper_log_mel
 from seedvc_tpu.models.bigvgan import BIGVGAN_22K_80, BIGVGAN_44K_128, BigVGAN
 from seedvc_tpu.models.campplus import CAMPPlus
@@ -71,9 +71,16 @@ class VoiceConverter:
         rmvpe_params=None,
         prompt_cap_frames: int = 768,
         context_frames: Optional[int] = None,
-        compute_dtype=jnp.float32,
+        compute_dtype=None,
         seed: int = 0,
     ):
+        # The reference defaults to fp16 inference on GPU (inference.py
+        # ``--fp16`` default True); the TPU analogue is bfloat16 for the
+        # DiT/CFM compute path (vocoder + encoders stay fp32).  Pass
+        # jnp.float32 explicitly for full-precision sampling.
+        if compute_dtype is None:
+            compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                             else jnp.float32)
         self.cfg = cfg or get_preset("whisper_small_wavenet")
         sp = self.cfg.preprocess_params.spect_params
         self.sr = self.cfg.preprocess_params.sr
@@ -219,10 +226,48 @@ class VoiceConverter:
             def vocode_fn(params, mel_chunk):
                 return vocoder.apply({"params": params}, mel_chunk)
 
+        n_mels_ = n_mels
+        W = source_window
+        cd = self.compute_dtype
+
+        @partial(jax.jit, static_argnames=("prompt_len", "n_steps",
+                                           "cfg_rate"))
+        def sample_vocode_fn(params, voc_params, key, cond_cat, total_len,
+                             prompt_mel, prompt_len, style, n_steps,
+                             cfg_rate):
+            """CFM sampling + generated-region slice + vocoder as ONE
+            program: halves the per-chunk device dispatches (each dispatch
+            costs ~10-25 ms through the axon tunnel).  Sampling runs in
+            ``compute_dtype`` (params cast once inside the program — XLA
+            hoists the casts out of the scan); the vocoder stays fp32."""
+            if cd != jnp.float32:
+                params = jax.tree_util.tree_map(
+                    lambda a: a.astype(cd) if a.dtype == jnp.float32 else a,
+                    params)
+                cond_cat = cond_cat.astype(cd)
+                prompt_mel = prompt_mel.astype(cd)
+                style = style.astype(cd)
+
+            def estimate(x, p, l, t, s, m):
+                return vc.apply({"params": params}, x, p, l, t, s, m,
+                                method=vc.estimate)
+
+            mel_out = euler_solve(
+                estimate, key, cond_cat, total_len, prompt_mel, prompt_len,
+                style, n_mels=n_mels_, n_timesteps=n_steps, cfg_rate=cfg_rate)
+            gen = jax.lax.dynamic_slice(
+                mel_out, (0, prompt_len, 0),
+                (1, W, n_mels_)).astype(jnp.float32)
+            if self.vocoder_type == "hifigan":
+                return vocoder.apply({"params": voc_params}, gen,
+                                     jax.random.PRNGKey(0))
+            return vocoder.apply({"params": voc_params}, gen)
+
         self._whisper_fn = whisper_fn
         self._style_fn = style_fn
         self._regulate_fn = regulate_fn
         self._sample_fn = sample_fn
+        self._sample_vocode_fn = sample_vocode_fn
         self._vocode_fn = vocode_fn
 
     # ------------------------------------------------------------------
@@ -360,10 +405,12 @@ class VoiceConverter:
         sync = np.asarray if profile else (lambda x: x)
         t_start = time.time()
         with timer("resample"):
-            src = np.asarray(resample(jnp.asarray(source), source_sr, self.sr))
-            ref = np.asarray(resample(jnp.asarray(reference), reference_sr, self.sr))
-            src_16k = np.asarray(resample(jnp.asarray(source), source_sr, 16000))
-            ref_16k = np.asarray(resample(jnp.asarray(reference), reference_sr, 16000))
+            # host-side: decimating 30 s of audio costs less than shipping
+            # it through the device tunnel twice (see dsp.resample_host)
+            src = resample_host(source, source_sr, self.sr)
+            ref = resample_host(reference, reference_sr, self.sr)
+            src_16k = resample_host(source, source_sr, 16000)
+            ref_16k = resample_host(reference, reference_sr, 16000)
 
         # Cap the reference prompt (prompt_cap frames of mel).
         max_ref = self.prompt_cap * self.hop
@@ -433,17 +480,12 @@ class VoiceConverter:
             cat[:, p_len: p_len + w] = chunk
 
             key, sub = jax.random.split(key)
-            with timer("sample"):
-                mel_out = self._sample_fn(
-                    self.vc_params, sub, jnp.asarray(cat),
-                    jnp.array([p_len + w]), jnp.asarray(prompt_mel_pad),
-                    p_len, style, diffusion_steps, cfg_rate)
-                # Generated region: frames [p_len, p_len + w).
-                gen = sync(jax.lax.dynamic_slice(
-                    mel_out, (0, p_len, 0), (1, W, self.n_mels)))
-            with timer("vocode"):
-                wave = np.asarray(self._vocode_fn(self.vocoder_params,
-                                                  jnp.asarray(gen)))[0]
+            with timer("sample+vocode"):
+                wave = np.asarray(self._sample_vocode_fn(
+                    self.vc_params, self.vocoder_params, sub,
+                    jnp.asarray(cat), jnp.array([p_len + w]),
+                    jnp.asarray(prompt_mel_pad), p_len, style,
+                    diffusion_steps, cfg_rate))[0]
             wave = wave[: w * self.hop]
 
             n_chunks += 1
