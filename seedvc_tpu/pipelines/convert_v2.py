@@ -164,6 +164,39 @@ class VoiceConverterV2:
         def vocode_fn(p, mel):
             return self.vocoder.apply({"params": p}, mel)
 
+        W = cfg.context_frames - cfg.prompt_cap_frames
+        cd = (jnp.bfloat16 if jax.default_backend() == "tpu"
+              else jnp.float32)
+
+        @partial(jax.jit, static_argnames=("prompt_len", "n_steps", "r0",
+                                           "r1", "random_voice"))
+        def sample_vocode_fn(p, p_voc, key, cond, total_len, prompt_mel,
+                             prompt_len, style, n_steps, r0, r1,
+                             random_voice):
+            """Multi-cond CFG sampling + slice + vocoder as ONE dispatch
+            (same fusion as the v1 pipeline); CFM in bf16 on TPU, vocoder
+            fp32."""
+            if cd != jnp.float32:
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(cd) if a.dtype == jnp.float32 else a,
+                    p)
+                cond = cond.astype(cd)
+                prompt_mel = prompt_mel.astype(cd)
+                style = style.astype(cd)
+
+            def estimate(x, px, l, t, s, m):
+                return self.dit.apply({"params": p}, x, px, l, t, s, m)
+
+            mel_out = euler_solve_multicfg(
+                estimate, key, cond, total_len, prompt_mel, prompt_len, style,
+                n_mels=cfg.n_mels, n_timesteps=n_steps, cfg_rates=(r0, r1),
+                random_voice=random_voice)
+            gen = jax.lax.dynamic_slice(
+                mel_out, (0, prompt_len, 0),
+                (1, W, cfg.n_mels)).astype(jnp.float32)
+            return self.vocoder.apply({"params": p_voc}, gen)
+
+        self._sample_vocode_fn = sample_vocode_fn
         self._ssl_fn = ssl_fn
         self._quant_fn = quant_fn
         self._style_fn = style_fn
@@ -311,14 +344,12 @@ class VoiceConverterV2:
             cat[:, :p_len] = np.asarray(prompt_cond)
             cat[:, p_len: p_len + w] = chunk
             key, sub = jax.random.split(key)
-            mel_out = self._sample_fn(
-                self.p_dit, sub, jnp.asarray(cat), jnp.array([p_len + w]),
-                jnp.asarray(prompt_mel_pad), p_len, style, diffusion_steps,
-                float(similarity_cfg_rate), float(intelligibility_cfg_rate),
-                bool(anonymization_only))
-            gen = jax.lax.dynamic_slice(mel_out, (0, p_len, 0),
-                                        (1, W, cfg.n_mels))
-            wave = np.asarray(self._vocode_fn(self.p_vocoder, gen))[0]
+            wave = np.asarray(self._sample_vocode_fn(
+                self.p_dit, self.p_vocoder, sub, jnp.asarray(cat),
+                jnp.array([p_len + w]), jnp.asarray(prompt_mel_pad), p_len,
+                style, diffusion_steps, float(similarity_cfg_rate),
+                float(intelligibility_cfg_rate),
+                bool(anonymization_only)))[0]
             wave = wave[: w * cfg.hop]
             if prev_tail is None:
                 if is_last:

@@ -46,3 +46,16 @@ def test_entry_compiles():
     compiled = jax.jit(fn).lower(*args).compile()
     res = compiled(*args)
     assert res.shape == (2, 256, 80)
+
+
+def test_distributed_initialize_single_process_noop(monkeypatch):
+    """Without a coordinator configured, initialize() is a no-op returning
+    False; is_coordinator() still answers."""
+    import seedvc_tpu.parallel.distributed as D
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    D._initialized = False
+    assert D.initialize() is False
+    assert D.is_coordinator() is True  # single process == rank 0
