@@ -108,3 +108,33 @@ def make_sharded_train_step(model: VCModel,
         return jitted(state, batch, jax.device_put(rng, replicated))
 
     return run
+
+
+def make_sharded_eval_step(model: VCModel, mesh: Mesh):
+    """Validation loss only (no grads/update) — reference ``validate()``
+    (``train.py:1034-1056``) computes the same CFM loss on held-out audio."""
+    replicated = NamedSharding(mesh, P())
+
+    def loss_fn(params, batch, rng):
+        keys = jax.random.split(rng, 4)
+        rngs = {"prompt": keys[0], "t": keys[1], "noise": keys[2],
+                "drop": keys[3]}
+        loss, _ = model.apply(
+            {"params": params},
+            batch["s_alt"], batch["s_ori"], batch["mels"],
+            batch["mel_lens"], batch["style"],
+            rngs_dict=rngs, deterministic=True,
+        )
+        return loss
+
+    jitted = jax.jit(loss_fn)
+
+    def run(params, batch: dict, rng):
+        batch = {
+            k: jax.device_put(v, NamedSharding(
+                mesh, P(AXES.data, *([None] * (v.ndim - 1)))))
+            for k, v in batch.items()
+        }
+        return jitted(params, batch, jax.device_put(rng, replicated))
+
+    return run

@@ -60,6 +60,9 @@ class TrainerConfig:
     mel_bucket: int = 128        # mel frames rounded up to this multiple
     ema_decay: float = 0.99      # loss EMA for logging/plateau logic
     lr_halve_patience: int = 4   # plateau validations before halving LR
+    validation_interval: int = 0  # steps between validate() (0 = off)
+    val_batches: int = 4          # batches averaged per validation
+    early_stop_patience: int = 10  # validations w/o improvement -> stop
     perturb_min: float = 0.85
     perturb_max: float = 1.15
     seed: int = 1234
@@ -124,6 +127,9 @@ class Trainer:
         self.step_fn = make_sharded_train_step(self.model, self.optimizer,
                                                self.mesh,
                                                teacher_params=teacher_params)
+        from seedvc_tpu.train.step import make_sharded_eval_step
+
+        self.eval_fn = make_sharded_eval_step(self.model, self.mesh)
 
         self._jit_whisper = jax.jit(
             lambda p, w: self.whisper.apply({"params": p}, whisper_log_mel(w)))
@@ -155,6 +161,8 @@ class Trainer:
         self.ema_loss: Optional[float] = None
         self.best_ema: float = float("inf")
         self.plateau_count = 0
+        self.best_val_loss = float("inf")
+        self.val_patience = 0
 
         self._ckpt_mgr = None
         if tcfg.run_dir:
@@ -284,7 +292,22 @@ class Trainer:
         return True
 
     # ------------------------------------------------------------------
-    def train(self, dataset: FTDataset):
+    def validate(self, val_dataset: FTDataset) -> float:
+        """Mean CFM loss over a few validation batches (reference
+        ``validate()``, ``train.py:1034-1056``)."""
+        tb = self.tcfg
+        rng = np.random.default_rng(tb.seed + 1)
+        losses = []
+        for i, batch in enumerate(val_dataset.batches(shuffle=False,
+                                                      epoch=0)):
+            if i >= tb.val_batches:
+                break
+            feats = self.prepare_batch(batch, rng)
+            losses.append(float(self.eval_fn(
+                self.state.params, feats, jax.random.PRNGKey(tb.seed + i))))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def train(self, dataset: FTDataset, val_dataset: FTDataset = None):
         tb = self.tcfg
         rng = np.random.default_rng(tb.seed)
         key = jax.random.PRNGKey(tb.seed)
@@ -315,6 +338,22 @@ class Trainer:
                             self._lr_scale *= 0.5
                             self.plateau_count = 0
                             print(f"plateau: halving LR (scale {self._lr_scale})")
+                if (val_dataset is not None and tb.validation_interval
+                        and step % tb.validation_interval == 0):
+                    val_loss = self.validate(val_dataset)
+                    # val-loss early stopping + patience (train.py:1101-1141)
+                    if val_loss < self.best_val_loss - 1e-4:
+                        self.best_val_loss = val_loss
+                        self.val_patience = 0
+                    else:
+                        self.val_patience += 1
+                    print(f"step {step} val_loss {val_loss:.4f} "
+                          f"(best {self.best_val_loss:.4f}, "
+                          f"patience {self.val_patience})")
+                    if self.val_patience >= tb.early_stop_patience:
+                        print("early stop: validation plateau")
+                        self.save(step)
+                        return step
                 if step % tb.save_interval == 0:
                     self.save(step)
                 if step >= tb.max_steps:

@@ -262,3 +262,29 @@ def test_regulator_vector_quantize_bottleneck():
     grads = jax.grad(loss)(params)
     g = jax.tree_util.tree_leaves(grads)
     assert any(np.abs(np.asarray(leaf)).sum() > 0 for leaf in g)
+
+
+def test_load_reference_yaml_presets():
+    """All 5 shipped reference YAML presets load into typed configs with the
+    right preprocessing/model fields (reference configs/presets/*.yml via
+    modules/commons.py:482-488 munch loading)."""
+    import glob
+
+    from seedvc_tpu.core.config import get_preset, load_preset
+
+    paths = sorted(glob.glob("/root/reference/configs/presets/*.yml"))
+    assert len(paths) == 5
+    for path in paths:
+        cfg = load_preset(path)
+        assert cfg.preprocess_params.sr in (22050, 44100)
+        assert cfg.model_params.DiT.hidden_dim in (384, 512, 768)
+        assert cfg.model_params.DiT.depth in (9, 13, 17)
+
+    # the small-wavenet YAML must agree with the built-in preset
+    yml = load_preset("/root/reference/configs/presets/"
+                      "config_dit_mel_seed_uvit_whisper_small_wavenet.yml")
+    built = get_preset("whisper_small_wavenet")
+    assert yml.model_params.DiT.hidden_dim == built.model_params.DiT.hidden_dim
+    assert yml.model_params.DiT.depth == built.model_params.DiT.depth
+    assert (yml.preprocess_params.spect_params.hop_length
+            == built.preprocess_params.spect_params.hop_length)

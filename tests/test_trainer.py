@@ -74,3 +74,28 @@ def test_trainer_steps_and_checkpoint(wav_dir, tmp_path):
     trainer2 = Trainer(cfg, tcfg, whisper_cfg=wcfg, n_model=4)
     assert trainer2.restore_latest()
     assert int(trainer2.state.step) == 2
+
+
+def test_trainer_validate_and_early_stop(wav_dir, tmp_path):
+    """validate() returns a finite loss; persistent plateau triggers early
+    stop (reference train.py:1034-1141)."""
+    cfg = tiny_cfg()
+    wcfg = WhisperEncoderConfig(d_model=32, n_layers=1, n_heads=4, ffn_dim=64)
+    tcfg = TrainerConfig(
+        data_path=wav_dir, run_dir=str(tmp_path / "run"), batch_size=2,
+        epochs=50, max_steps=100, log_interval=100, save_interval=1000,
+        mel_bucket=64, validation_interval=1, val_batches=1,
+        early_stop_patience=2)
+    trainer = Trainer(cfg, tcfg, whisper_cfg=wcfg, n_model=4)
+    ds = FTDataset(wav_dir, 22050, batch_size=2)
+
+    val = trainer.validate(ds)
+    assert np.isfinite(val)
+    # deterministic validate: same params -> same loss
+    assert trainer.validate(ds) == val
+
+    # force permanent plateau so the early-stop path fires quickly
+    trainer.best_val_loss = -1e9
+    final = trainer.train(ds, val_dataset=ds)
+    assert final == 2  # stopped after patience=2 validations
+    assert trainer.val_patience == 2
