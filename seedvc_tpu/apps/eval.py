@@ -56,6 +56,9 @@ def main(argv=None):
                     help="TSV of filename<TAB>ground-truth text")
     ap.add_argument("--dnsmos-dir", default=None,
                     help="dir with sig_bak_ovr.onnx (needs onnxruntime)")
+    ap.add_argument("--f0-metrics", action="store_true",
+                    help="F0CORR/F0RMSE source vs converted via RMVPE "
+                         "(SVC presets; reference EVAL.md:62-70)")
     ap.add_argument("--baseline", default=None,
                     choices=["openvoice", "command"],
                     help="score a baseline system instead of the framework")
@@ -161,12 +164,23 @@ def main(argv=None):
                 row.update({f"dnsmos_{k}": v
                             for k, v in dnsmos.score(conv_16k).items()})
 
+            if args.f0_metrics and converter.rmvpe is not None:
+                from seedvc_tpu.apps.metrics import f0_metrics
+
+                src_16k = np.asarray(
+                    resample(jnp.asarray(src), src_sr, 16000))
+                f0_src = converter.rmvpe.infer_from_audio_batch(
+                    src_16k[None])[0]
+                f0_conv = converter.rmvpe.infer_from_audio_batch(
+                    conv_16k[None])[0]
+                row.update(f0_metrics(f0_src, f0_conv))
+
             results.append(row)
             print(f"[{ti}:{si}] SECS={row['secs']:.4f} {out_name}")
 
     summary = {"n": len(results)}
     for metric in ("secs", "wer", "cer", "dnsmos_sig", "dnsmos_bak",
-                   "dnsmos_ovrl"):
+                   "dnsmos_ovrl", "f0_corr", "f0_rmse_cents"):
         vals = [r[metric] for r in results if metric in r]
         if vals:
             summary[f"mean_{metric}"] = float(np.mean(vals))

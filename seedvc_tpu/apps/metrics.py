@@ -138,3 +138,28 @@ class DNSMOS:
             ovrs.append(o)
         return {"sig": float(np.mean(sigs)), "bak": float(np.mean(baks)),
                 "ovrl": float(np.mean(ovrs))}
+
+
+def f0_metrics(f0_ref, f0_hyp) -> dict:
+    """F0CORR / F0RMSE over jointly-voiced frames (the reference publishes
+    these for SVC, EVAL.md:62-70; RMSE in cents, corr is Pearson on Hz).
+
+    Both inputs are per-frame F0 in Hz (0/<=1 = unvoiced); lengths are
+    aligned to the shorter sequence.
+    """
+    import numpy as np
+
+    a = np.asarray(f0_ref, np.float64)
+    b = np.asarray(f0_hyp, np.float64)
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    voiced = (a > 1) & (b > 1)
+    if voiced.sum() < 2:
+        return {"f0_corr": float("nan"), "f0_rmse_cents": float("nan"),
+                "voiced_frames": int(voiced.sum())}
+    av, bv = a[voiced], b[voiced]
+    corr = float(np.corrcoef(av, bv)[0, 1])
+    cents = 1200.0 * np.log2(bv / av)
+    rmse = float(np.sqrt(np.mean(cents ** 2)))
+    return {"f0_corr": corr, "f0_rmse_cents": rmse,
+            "voiced_frames": int(voiced.sum())}

@@ -279,3 +279,26 @@ def test_webui_missing_upload_is_400(webui_server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(req)
     assert exc.value.code == 400
+
+
+def test_f0_metrics():
+    from seedvc_tpu.apps.metrics import f0_metrics
+
+    f0 = 220.0 * np.ones(100)
+    f0[:10] = 0.0  # unvoiced head
+    same = f0_metrics(f0, f0)
+    assert same["f0_rmse_cents"] == 0.0
+    assert same["voiced_frames"] == 90
+
+    # one semitone sharp everywhere -> 100 cents RMSE, corr undefined-ish
+    shifted = f0 * 2 ** (1 / 12)
+    m = f0_metrics(f0, shifted)
+    assert m["f0_rmse_cents"] == pytest.approx(100.0, abs=1e-6)
+
+    # correlated contour
+    t = np.linspace(0, 1, 200)
+    a = 200 + 50 * np.sin(2 * np.pi * 3 * t)
+    b = a * 1.01
+    assert f0_metrics(a, b)["f0_corr"] > 0.999
+    # all-unvoiced -> NaN, no crash
+    assert np.isnan(f0_metrics(np.zeros(5), np.zeros(5))["f0_corr"])
