@@ -106,11 +106,17 @@ def euler_solve(
     temperature: float = 1.0,
     cfg_rate: float = 0.7,
     t_scheduler: str = "linear",
+    shard_axis: str | None = None,
 ) -> jax.Array:
     """Euler CFG sampler. estimate_fn(x, prompt_x, x_lens, t, style, mu) -> v.
 
     Returns the generated mel (B, T, C); the prompt region holds zeros, as in
     the reference (``flow_matching.py:110``).
+
+    ``shard_axis``: mesh axis name to shard the CFG-stacked batch over
+    (SURVEY §2.10: the duplicated cond/uncond batch is a natural 2x batch
+    axis to split across devices; XLA inserts the collectives).  Requires a
+    surrounding Mesh context when set.
     """
     B, T, _ = mu.shape
     z = jax.random.normal(key, (B, T, n_mels), mu.dtype) * temperature
@@ -125,18 +131,28 @@ def euler_solve(
     x0 = jnp.where(in_prompt, 0.0, z)
 
     use_cfg = cfg_rate > 0
+
+    def shard(a):
+        if shard_axis is None:
+            return a
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(shard_axis, *([None] * (a.ndim - 1)))
+        return jax.lax.with_sharding_constraint(a, spec)
+
     if use_cfg:
-        est_prompt = jnp.concatenate([prompt_x, jnp.zeros_like(prompt_x)], 0)
-        est_style = jnp.concatenate([style, jnp.zeros_like(style)], 0)
-        est_mu = jnp.concatenate([mu, jnp.zeros_like(mu)], 0)
-        est_lens = jnp.concatenate([x_lens, x_lens], 0)
+        est_prompt = shard(jnp.concatenate([prompt_x, jnp.zeros_like(prompt_x)], 0))
+        est_style = shard(jnp.concatenate([style, jnp.zeros_like(style)], 0))
+        est_mu = shard(jnp.concatenate([mu, jnp.zeros_like(mu)], 0))
+        est_lens = shard(jnp.concatenate([x_lens, x_lens], 0))
     else:
-        est_prompt, est_style, est_mu, est_lens = prompt_x, style, mu, x_lens
+        est_prompt, est_style, est_mu, est_lens = (
+            shard(prompt_x), shard(style), shard(mu), shard(x_lens))
 
     def step(x, ts):
         t_cur, dt = ts
         if use_cfg:
-            xx = jnp.concatenate([x, x], 0)
+            xx = shard(jnp.concatenate([x, x], 0))
             tt = jnp.full((2 * B,), t_cur, mu.dtype)
             v = estimate_fn(xx, est_prompt, est_lens, tt, est_style, est_mu)
             v_cond, v_null = jnp.split(v, 2, axis=0)

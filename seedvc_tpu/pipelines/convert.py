@@ -73,7 +73,11 @@ class VoiceConverter:
         context_frames: Optional[int] = None,
         compute_dtype=None,
         seed: int = 0,
+        cfg_shard_axis: Optional[str] = None,
     ):
+        # cfg_shard_axis: mesh axis to split the CFG-stacked (2x) sampler
+        # batch over (run convert() inside ``jax.set_mesh(mesh)``); None =
+        # single-device sampling.
         # The reference defaults to fp16 inference on GPU (inference.py
         # ``--fp16`` default True); the TPU analogue is bfloat16 for the
         # DiT/CFM compute path (vocoder + encoders stay fp32).  Pass
@@ -81,6 +85,7 @@ class VoiceConverter:
         if compute_dtype is None:
             compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
                              else jnp.float32)
+        self.cfg_shard_axis = cfg_shard_axis
         self.cfg = cfg or get_preset("whisper_small_wavenet")
         sp = self.cfg.preprocess_params.spect_params
         self.sr = self.cfg.preprocess_params.sr
@@ -213,7 +218,8 @@ class VoiceConverter:
 
             return euler_solve(
                 estimate, key, cond_cat, total_len, prompt_mel, prompt_len,
-                style, n_mels=n_mels, n_timesteps=n_steps, cfg_rate=cfg_rate)
+                style, n_mels=n_mels, n_timesteps=n_steps, cfg_rate=cfg_rate,
+                shard_axis=self.cfg_shard_axis)
 
         if self.vocoder_type == "hifigan":
             @jax.jit
@@ -254,7 +260,8 @@ class VoiceConverter:
 
             mel_out = euler_solve(
                 estimate, key, cond_cat, total_len, prompt_mel, prompt_len,
-                style, n_mels=n_mels_, n_timesteps=n_steps, cfg_rate=cfg_rate)
+                style, n_mels=n_mels_, n_timesteps=n_steps, cfg_rate=cfg_rate,
+                shard_axis=self.cfg_shard_axis)
             gen = jax.lax.dynamic_slice(
                 mel_out, (0, prompt_len, 0),
                 (1, W, n_mels_)).astype(jnp.float32)

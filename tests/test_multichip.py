@@ -59,3 +59,50 @@ def test_distributed_initialize_single_process_noop(monkeypatch):
     D._initialized = False
     assert D.initialize() is False
     assert D.is_coordinator() is True  # single process == rank 0
+
+
+def test_cfg_branch_sharded_sampler_matches_unsharded():
+    """euler_solve(shard_axis='data') splits the CFG-stacked batch across
+    the mesh and produces the same mel as the single-device run (SURVEY
+    §2.10 CFG-branch sharding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seedvc_tpu.core.config import (DiTConfig, LengthRegulatorConfig,
+                                        ModelParams)
+    from seedvc_tpu.models.cfm import CFM, euler_solve
+    from seedvc_tpu.parallel.mesh import make_mesh
+
+    mp = ModelParams(
+        length_regulator=LengthRegulatorConfig(channels=32, is_discrete=False,
+                                               in_channels=32,
+                                               sampling_ratios=(1,)),
+        DiT=DiTConfig(hidden_dim=32, num_heads=4, depth=2, in_channels=16,
+                      final_layer_type="mlp", content_dim=32,
+                      long_skip_connection=False, uvit_skip_connection=False),
+    )
+    cfm = CFM(mp)
+    B, T, C, D = 1, 24, 16, 32
+    key = jax.random.PRNGKey(0)
+    mu = jax.random.normal(key, (B, T, D))
+    lens = jnp.full((B,), T, jnp.int32)
+    prompt = jnp.zeros((B, T, C))
+    style = jax.random.normal(key, (B, 192))
+    variables = cfm.init(key, jnp.zeros((B, T, C)), prompt, lens,
+                         jnp.zeros((B,)), style, mu, method=cfm.estimate)
+
+    def estimate(x, p, l, t, s, m):
+        return cfm.apply(variables, x, p, l, t, s, m, method=cfm.estimate)
+
+    def run(shard_axis):
+        return euler_solve(estimate, key, mu, lens, prompt, 4, style,
+                           n_mels=C, n_timesteps=3, cfg_rate=0.7,
+                           shard_axis=shard_axis)
+
+    base = np.asarray(jax.jit(lambda: run(None))())
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    with jax.set_mesh(mesh):
+        sharded = np.asarray(jax.jit(lambda: run("data"))())
+    np.testing.assert_allclose(base, sharded, atol=2e-5)
