@@ -213,6 +213,7 @@ def sample_token(key, logits, presence, *, temperature=0.7, top_p=0.7,
                  repetition_penalty=1.5, suppress_eos=False, eos=2048):
     """Reference ``logits_to_probs`` + exponential-race multinomial
     (``ar.py:723-763``).  logits: (vocab,); presence: (vocab,) bool."""
+    logits = logits.astype(jnp.float32)  # fp32 sampling under bf16 decode
     penal = jnp.where(logits < 0, logits * repetition_penalty,
                       logits / repetition_penalty)
     logits = jnp.where(presence, penal, logits)
@@ -267,6 +268,15 @@ def make_generate_fn(model: ARTransformer, max_new_tokens: int = 1024,
         P_max = prompt_tokens.shape[1]
         S_max = cfg.max_seq_len
 
+        # Token-by-token decode is weight-streaming bound (one forward per
+        # token): bf16 params halve the HBM traffic per step on TPU.  The
+        # reference runs the AR in fp16 on GPU; logits/sampling stay fp32.
+        if jax.default_backend() == "tpu":
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, params)
+            cond_emb = cond_emb.astype(jnp.bfloat16)
+
         apply = partial(model.apply, params)
         sep = apply(method=lambda m: m.sep_token)  # (D,)
         tok_emb = apply(prompt_tokens, method=model.embed_tokens)  # (1,P,D)
@@ -299,7 +309,7 @@ def make_generate_fn(model: ARTransformer, max_new_tokens: int = 1024,
                 (keys[None, :] < valid_len))[None, None]
 
         k0 = jnp.zeros((cfg.n_layer, B, S_max, cfg.n_local_heads, cfg.head_dim),
-                       jnp.float32)
+                       cond_emb.dtype)
         v0 = jnp.zeros_like(k0)
 
         # Prefill writes k/v for ALL L_pre positions; entries beyond
