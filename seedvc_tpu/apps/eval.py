@@ -181,7 +181,8 @@ def main(argv=None):
     summary = {"n": len(results)}
     for metric in ("secs", "wer", "cer", "dnsmos_sig", "dnsmos_bak",
                    "dnsmos_ovrl", "f0_corr", "f0_rmse_cents"):
-        vals = [r[metric] for r in results if metric in r]
+        vals = [r[metric] for r in results
+                if metric in r and np.isfinite(r[metric])]
         if vals:
             summary[f"mean_{metric}"] = float(np.mean(vals))
 

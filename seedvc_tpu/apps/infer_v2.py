@@ -7,13 +7,11 @@
 from __future__ import annotations
 
 import argparse
+
+from seedvc_tpu.core.utils import str2bool
 import os
 import pickle
 import sys
-
-
-def str2bool(v: str) -> bool:
-    return str(v).lower() in ("yes", "true", "t", "y", "1")
 
 
 def main(argv=None):
@@ -38,8 +36,9 @@ def main(argv=None):
 
     params = {}
     if args.checkpoint_dir:
-        for name in ("ssl", "narrow", "wide", "campplus", "cfm_reg", "ar_reg",
-                     "dit", "ar", "vocoder"):
+        from seedvc_tpu.pipelines.convert_v2 import V2_PARAM_NAMES
+
+        for name in V2_PARAM_NAMES:
             p = os.path.join(args.checkpoint_dir, f"{name}.pkl")
             if os.path.exists(p):
                 with open(p, "rb") as f:

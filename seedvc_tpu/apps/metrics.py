@@ -82,9 +82,9 @@ class DNSMOS:
     """DNSMOS P.835 scorer over the published ONNX models.
 
     Gated on onnxruntime (not installed in this build environment); point
-    ``model_dir`` at a directory containing ``sig_bak_ovr.onnx`` (and
-    optionally ``model_v8.onnx`` for the P.808 MOS), the same files the
-    reference ships under ``baselines/dnsmos/``.
+    ``model_dir`` at a directory containing ``sig_bak_ovr.onnx`` — the same
+    file the reference ships under ``baselines/dnsmos/`` (the reference's
+    separate P.808 model_v8.onnx is not scored here).
     """
 
     INPUT_LENGTH_S = 9.01
@@ -101,10 +101,6 @@ class DNSMOS:
         self.sess = ort.InferenceSession(
             os.path.join(model_dir, "sig_bak_ovr.onnx"),
             providers=["CPUExecutionProvider"])
-        p808 = os.path.join(model_dir, "model_v8.onnx")
-        self.sess_p808 = (ort.InferenceSession(
-            p808, providers=["CPUExecutionProvider"])
-            if os.path.exists(p808) else None)
 
     @staticmethod
     def _poly_fit(sig, bak, ovr):
@@ -125,6 +121,8 @@ class DNSMOS:
         fs = 16000
         need = int(self.INPUT_LENGTH_S * fs)
         wave = np.asarray(wave_16k, np.float32)
+        if len(wave) == 0:
+            raise ValueError("DNSMOS.score: empty waveform")
         while len(wave) < need:
             wave = np.concatenate([wave, wave])
         hop = fs  # 1 s hops over 9.01 s windows, as the reference scorer

@@ -30,9 +30,7 @@ import os
 import sys
 import time
 
-
-def str2bool(v) -> bool:
-    return str(v).lower() in ("yes", "true", "t", "y", "1")
+from seedvc_tpu.core.utils import str2bool
 
 
 SETTINGS_PATH = os.path.join("configs", "inuse", "realtime.json")
@@ -92,7 +90,7 @@ def run_simulated(streamer, args) -> None:
     wave, sr = load_wav(args.simulate)
     wave = np.asarray(resample(jnp.asarray(wave), sr, streamer.sr))
     block = streamer.block
-    n_blocks = max(len(wave) // block, 1)
+    n_blocks = max(-(-len(wave) // block), 1)  # ceil: pad the last block
     wave = np.pad(wave, (0, n_blocks * block - len(wave)))
 
     block_s = block / streamer.sr
@@ -200,16 +198,10 @@ def main(argv=None):
                   "(simulate mode works without it)")
         return
 
-    params = {}
-    if args.checkpoint_dir:
-        import pickle
+    from seedvc_tpu.pipelines.wrapper import load_params_dir
 
-        for name in ("vc", "whisper", "campplus", "vocoder", "rmvpe"):
-            path = os.path.join(args.checkpoint_dir, f"{name}.pkl")
-            if os.path.exists(path):
-                with open(path, "rb") as f:
-                    params[f"{name}_params"] = pickle.load(f)
-    else:
+    params = load_params_dir(args.checkpoint_dir)
+    if not params:
         print("[warn] no --checkpoint-dir: RANDOM weights (latency smoke "
               "mode)", file=sys.stderr)
 

@@ -15,9 +15,7 @@ import argparse
 import os
 import pickle
 
-
-def str2bool(v) -> bool:
-    return str(v).lower() in ("yes", "true", "t", "y", "1")
+from seedvc_tpu.core.utils import str2bool
 
 
 def main(argv=None):

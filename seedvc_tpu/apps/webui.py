@@ -68,28 +68,18 @@ class ConverterRegistry:
         self._cache: dict[str, object] = {}
         self.lock = threading.Lock()  # serialize TPU work
 
-    def _v1_params(self) -> dict:
-        params = {}
-        if self.checkpoint_dir:
-            for name in ("vc", "whisper", "campplus", "vocoder", "rmvpe"):
-                path = os.path.join(self.checkpoint_dir, f"{name}.pkl")
-                if os.path.exists(path):
-                    with open(path, "rb") as f:
-                        params[f"{name}_params"] = pickle.load(f)
-        return params
-
     def get(self, mode: str, preset: str):
         key = f"{mode}:{preset}"
         if key in self._cache:
             return self._cache[key]
         if mode == "v2":
-            from seedvc_tpu.pipelines.convert_v2 import VoiceConverterV2
+            from seedvc_tpu.pipelines.convert_v2 import (
+                V2_PARAM_NAMES, VoiceConverterV2)
 
             params = None
             if self.v2_checkpoint_dir:
                 params = {}
-                for name in ("vc", "ssl", "narrow", "wide", "campplus",
-                             "vocoder"):
+                for name in V2_PARAM_NAMES:
                     path = os.path.join(self.v2_checkpoint_dir, f"{name}.pkl")
                     if os.path.exists(path):
                         with open(path, "rb") as f:
@@ -99,8 +89,10 @@ class ConverterRegistry:
         else:
             from seedvc_tpu.core.config import get_preset
             from seedvc_tpu.pipelines.convert import VoiceConverter
+            from seedvc_tpu.pipelines.wrapper import load_params_dir
 
-            conv = VoiceConverter(get_preset(preset), **self._v1_params())
+            conv = VoiceConverter(get_preset(preset),
+                                  **load_params_dir(self.checkpoint_dir))
         self._cache[key] = conv
         return conv
 
@@ -161,6 +153,10 @@ function setMode(m){mode=m;
 document.getElementById('form').addEventListener('submit', async (e)=>{
  e.preventDefault();
  const fd=new FormData(e.target); fd.set('mode',mode);
+ // browsers omit unchecked checkboxes entirely; send explicit 0/1 so
+ // default-true options can actually be turned off server-side
+ for(const cb of e.target.querySelectorAll('input[type=checkbox]'))
+   fd.set(cb.name, cb.checked ? '1' : '0');
  const st=document.getElementById('status'); st.textContent='converting…';
  const r=await fetch('/api/convert',{method:'POST',body:fd});
  if(!r.ok){st.textContent='error: '+await r.text();return;}

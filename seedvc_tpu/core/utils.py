@@ -29,3 +29,8 @@ def pad_axis_to(x: jax.Array, axis: int, target: int, value=0.0) -> jax.Array:
     pads = [(0, 0)] * x.ndim
     pads[axis] = (0, target - cur)
     return jnp.pad(x, pads, constant_values=value)
+
+
+def str2bool(v) -> bool:
+    """argparse-friendly bool (reference ``modules/commons.py:10-18``)."""
+    return str(v).lower() in ("yes", "true", "t", "y", "1")

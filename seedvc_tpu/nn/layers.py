@@ -139,9 +139,12 @@ class Attention(nn.Module):
                 lens = jnp.sum(mask[:, 0, -1, :].astype(jnp.int32), axis=-1)
             else:
                 lens = None
+            # honor the tuned flash_block_q when it divides T (the custom
+            # kernel requires exact tiling); otherwise fall back to 512.
+            bq = self.flash_block_q if T % self.flash_block_q == 0 else 512
             out = dit_attention(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3), lens, block_q=512)
+                v.transpose(0, 2, 1, 3), lens, block_q=bq)
             out = out.transpose(0, 2, 1, 3).astype(x.dtype)
         elif (self.use_flash and T % 512 == 0
                 and jax.default_backend() == "tpu"):

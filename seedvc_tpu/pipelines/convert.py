@@ -209,29 +209,6 @@ class VoiceConverter:
                               method=vc.regulate)
             return out
 
-        @partial(jax.jit, static_argnames=("n_steps", "cfg_rate"))
-        def sample_fn(params, key, cond_cat, total_len, prompt_mel, prompt_len,
-                      style, n_steps, cfg_rate):
-            def estimate(x, p, l, t, s, m):
-                return vc.apply({"params": params}, x, p, l, t, s, m,
-                                method=vc.estimate)
-
-            return euler_solve(
-                estimate, key, cond_cat, total_len, prompt_mel, prompt_len,
-                style, n_mels=n_mels, n_timesteps=n_steps, cfg_rate=cfg_rate,
-                shard_axis=self.cfg_shard_axis)
-
-        if self.vocoder_type == "hifigan":
-            @jax.jit
-            def vocode_fn(params, mel_chunk):
-                # fixed sine-phase key: deterministic streaming vocoding
-                return vocoder.apply({"params": params}, mel_chunk,
-                                     jax.random.PRNGKey(0))
-        else:
-            @jax.jit
-            def vocode_fn(params, mel_chunk):
-                return vocoder.apply({"params": params}, mel_chunk)
-
         n_mels_ = n_mels
         W = source_window
         cd = self.compute_dtype
@@ -273,9 +250,7 @@ class VoiceConverter:
         self._whisper_fn = whisper_fn
         self._style_fn = style_fn
         self._regulate_fn = regulate_fn
-        self._sample_fn = sample_fn
         self._sample_vocode_fn = sample_vocode_fn
-        self._vocode_fn = vocode_fn
 
     # ------------------------------------------------------------------
     def semantic_features(self, wave_16k: np.ndarray) -> jax.Array:

@@ -63,6 +63,11 @@ class V2Config:
 
 
 class VoiceConverterV2:
+    # pkl names understood by ``params=`` (one converted tree per module);
+    # shared by the infer_v2 CLI and the web UI checkpoint loaders.
+    PARAM_NAMES = ("ssl", "narrow", "wide", "campplus", "cfm_reg", "ar_reg",
+                   "dit", "ar", "vocoder")
+
     def __init__(self, cfg: V2Config = V2Config(), *, params: dict | None = None,
                  seed: int = 0):
         self.cfg = cfg
@@ -149,21 +154,6 @@ class VoiceConverterV2:
             out, _ = self.ar_reg.apply({"params": p}, tokens, ylens, target_len)
             return out
 
-        @partial(jax.jit, static_argnames=("n_steps", "r0", "r1", "random_voice"))
-        def sample_fn(p, key, cond, total_len, prompt_mel, prompt_len, style,
-                      n_steps, r0, r1, random_voice):
-            def estimate(x, px, l, t, s, m):
-                return self.dit.apply({"params": p}, x, px, l, t, s, m)
-
-            return euler_solve_multicfg(
-                estimate, key, cond, total_len, prompt_mel, prompt_len, style,
-                n_mels=cfg.n_mels, n_timesteps=n_steps, cfg_rates=(r0, r1),
-                random_voice=random_voice)
-
-        @jax.jit
-        def vocode_fn(p, mel):
-            return self.vocoder.apply({"params": p}, mel)
-
         W = cfg.context_frames - cfg.prompt_cap_frames
         cd = (jnp.bfloat16 if jax.default_backend() == "tpu"
               else jnp.float32)
@@ -202,8 +192,6 @@ class VoiceConverterV2:
         self._style_fn = style_fn
         self._cfm_reg_fn = cfm_reg_fn
         self._ar_reg_fn = ar_reg_fn
-        self._sample_fn = sample_fn
-        self._vocode_fn = vocode_fn
         self._generate = jax.jit(make_generate_fn(self.ar, max_new_tokens=2048))
 
     # ------------------------------------------------------------------
@@ -371,3 +359,6 @@ class VoiceConverterV2:
         """Timbre-only conversion (no AR; ``vc_wrapper.py:364-419``)."""
         kw["convert_style"] = False
         return self.convert_voice(source, source_sr, reference, reference_sr, **kw)
+
+
+V2_PARAM_NAMES = VoiceConverterV2.PARAM_NAMES

@@ -318,6 +318,7 @@ class TrainerV2:
         tcfg = self.tcfg
         key = jax.random.PRNGKey(tcfg.seed)
         step = int(self.state.step)
+        start_step = step
         t0 = time.time()
         for epoch in range(tcfg.epochs):
             for batch in dataset.batches(shuffle=True, epoch=epoch):
@@ -328,7 +329,8 @@ class TrainerV2:
                     parts = " ".join(f"{k} {v:.4f}"
                                      for k, v in sorted(metrics.items()))
                     print(f"step {step} {parts} "
-                          f"({(time.time() - t0) / step:.2f}s/step)")
+                          f"({(time.time() - t0) / (step - start_step):.2f}"
+                          f"s/step)")
                 if step % tcfg.save_interval == 0:
                     self.save(step)
                 if step >= tcfg.max_steps:

@@ -20,7 +20,8 @@ def test_stage_timer_accumulates():
     assert rep["a"]["calls"] == 3
     assert rep["a"]["seconds"] >= 0.03
     assert rep["b"]["calls"] == 1
-    assert timer.total() >= rep["a"]["seconds"]
+    # report() rounds to 4 decimals; allow that much slack vs the raw total
+    assert timer.total() >= rep["a"]["seconds"] - 1e-4
 
 
 def test_stage_timer_disabled_is_noop():
