@@ -26,6 +26,10 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jax.Array
+    # exponential moving average of params (None = disabled).  The reference
+    # ships EMA weights for its models (the tiny model is ``_ema.pth``;
+    # ``modules/commons.py:423-432`` loads them) — training produces them here.
+    ema_params: Any = None
 
 
 def init_state(model: VCModel, optimizer: optax.GradientTransformation,
@@ -49,6 +53,8 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
         opt_state=jax.device_put(state.opt_state,
                                  logical_to_sharding(state.opt_state, mesh)),
         step=jax.device_put(state.step, NamedSharding(mesh, P())),
+        ema_params=(None if state.ema_params is None else jax.device_put(
+            state.ema_params, logical_to_sharding(state.ema_params, mesh))),
     )
 
 
@@ -56,7 +62,8 @@ def make_sharded_train_step(model: VCModel,
                             optimizer: optax.GradientTransformation,
                             mesh: Mesh,
                             teacher_params=None,
-                            distill_weight: float = 0.5):
+                            distill_weight: float = 0.5,
+                            weight_ema_decay: float = 0.0):
     """Build step_fn(state, batch, rng) -> (state, metrics), jitted SPMD.
 
     With ``teacher_params``, adds the reference's output-level distillation
@@ -92,8 +99,13 @@ def make_sharded_train_step(model: VCModel,
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
+        new_ema = state.ema_params
+        if weight_ema_decay > 0 and state.ema_params is not None:
+            d = weight_ema_decay
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1 - d) * p, state.ema_params, new_params)
         return (
-            TrainState(new_params, new_opt, state.step + 1),
+            TrainState(new_params, new_opt, state.step + 1, new_ema),
             {"loss": loss, "grad_norm": gnorm},
         )
 

@@ -61,6 +61,7 @@ class TrainerConfig:
     ema_decay: float = 0.99      # loss EMA for logging/plateau logic
     lr_halve_patience: int = 4   # plateau validations before halving LR
     validation_interval: int = 0  # steps between validate() (0 = off)
+    weight_ema_decay: float = 0.0  # param EMA (reference ships _ema.pth)
     val_batches: int = 4          # batches averaged per validation
     early_stop_patience: int = 10  # validations w/o improvement -> stop
     perturb_min: float = 0.85
@@ -123,10 +124,16 @@ class Trainer:
                                jnp.zeros((), jnp.int32))
         else:
             state = init_state(self.model, self.optimizer, k3, example)
+        if tcfg.weight_ema_decay > 0:
+            # explicit copies: params and ema_params must not alias (both
+            # are donated by the jitted step)
+            state = state._replace(ema_params=jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), state.params))
         self.state = shard_state(state, self.mesh)
-        self.step_fn = make_sharded_train_step(self.model, self.optimizer,
-                                               self.mesh,
-                                               teacher_params=teacher_params)
+        self.step_fn = make_sharded_train_step(
+            self.model, self.optimizer, self.mesh,
+            teacher_params=teacher_params,
+            weight_ema_decay=tcfg.weight_ema_decay)
         from seedvc_tpu.train.step import make_sharded_eval_step
 
         self.eval_fn = make_sharded_eval_step(self.model, self.mesh)
@@ -266,13 +273,14 @@ class Trainer:
             return
         import orbax.checkpoint as ocp
 
-        self._ckpt_mgr.save(
-            step,
-            args=ocp.args.PyTreeSave({
-                "params": self.state.params,
-                "opt_state": self.state.opt_state,
-                "step": self.state.step,
-            }))
+        tree = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        if self.state.ema_params is not None:
+            tree["ema_params"] = self.state.ema_params
+        self._ckpt_mgr.save(step, args=ocp.args.PyTreeSave(tree))
         self._ckpt_mgr.wait_until_finished()
 
     def restore_latest(self) -> bool:
@@ -280,15 +288,19 @@ class Trainer:
             return False
         import orbax.checkpoint as ocp
 
+        template = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        if self.state.ema_params is not None:
+            template["ema_params"] = self.state.ema_params
         restored = self._ckpt_mgr.restore(
             self._ckpt_mgr.latest_step(),
-            args=ocp.args.PyTreeRestore({
-                "params": self.state.params,
-                "opt_state": self.state.opt_state,
-                "step": self.state.step,
-            }))
+            args=ocp.args.PyTreeRestore(template))
         self.state = TrainState(restored["params"], restored["opt_state"],
-                                restored["step"])
+                                restored["step"],
+                                restored.get("ema_params"))
         return True
 
     # ------------------------------------------------------------------

@@ -99,3 +99,35 @@ def test_trainer_validate_and_early_stop(wav_dir, tmp_path):
     final = trainer.train(ds, val_dataset=ds)
     assert final == 2  # stopped after patience=2 validations
     assert trainer.val_patience == 2
+
+
+def test_trainer_weight_ema(wav_dir, tmp_path):
+    """weight_ema_decay maintains a param EMA in the train state and
+    checkpoints it (the reference ships _ema.pth weights; commons.py:423)."""
+    import jax
+
+    cfg = tiny_cfg()
+    wcfg = WhisperEncoderConfig(d_model=32, n_layers=1, n_heads=4, ffn_dim=64)
+    tcfg = TrainerConfig(
+        data_path=wav_dir, run_dir=str(tmp_path / "run"), batch_size=2,
+        epochs=1, max_steps=2, log_interval=100, save_interval=2,
+        mel_bucket=64, weight_ema_decay=0.5)
+    trainer = Trainer(cfg, tcfg, whisper_cfg=wcfg, n_model=4)
+    p0 = np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0]).copy()
+    ds = FTDataset(wav_dir, 22050, batch_size=2)
+    trainer.train(ds)
+    leaves_p = jax.tree_util.tree_leaves(trainer.state.params)
+    leaves_e = jax.tree_util.tree_leaves(trainer.state.ema_params)
+    assert len(leaves_p) == len(leaves_e)
+    p2 = np.asarray(leaves_p[0])
+    e2 = np.asarray(leaves_e[0])
+    # EMA lags the raw params but has moved off the init value
+    assert not np.allclose(e2, p2)
+    assert not np.allclose(e2, p0)
+
+    # restore round-trips the EMA
+    trainer2 = Trainer(cfg, tcfg, whisper_cfg=wcfg, n_model=4)
+    assert trainer2.restore_latest()
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(trainer2.state.ema_params)[0]),
+        e2)
