@@ -39,3 +39,40 @@ def make_optimizer(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay),
     )
+
+
+def make_multi_optimizer(
+    lr,
+    *,
+    module_keys=("cfm", "length_regulator"),
+    grad_clip: float = 10.0,
+    weight_decay: float = 0.01,
+    b1: float = 0.9,
+    b2: float = 0.98,
+    eps: float = 1e-6,
+) -> optax.GradientTransformation:
+    """Per-module AdamW with PER-MODULE gradient clipping.
+
+    Exact analogue of the reference ``MultiOptimizer`` (``optimizers.py:
+    11-96``) + the v1 trainer's per-module ``clip_grad_norm_`` and separate
+    ``optimizer.step('cfm') / step('length_regulator')`` calls
+    (``train.py:889-894``): each top-level module gets its own AdamW chain,
+    so the clip norm is computed per module rather than globally.
+
+    ``lr`` may be a float/schedule (shared) or a dict {module_key: schedule}.
+    """
+    if not isinstance(lr, dict):
+        lr = {k: lr for k in module_keys}
+    transforms = {
+        k: optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adamw(lr[k], b1=b1, b2=b2, eps=eps,
+                        weight_decay=weight_decay),
+        )
+        for k in module_keys
+    }
+
+    def label_fn(params):
+        return {k: k for k in params}
+
+    return optax.multi_transform(transforms, label_fn)

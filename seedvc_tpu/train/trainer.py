@@ -62,6 +62,10 @@ class TrainerConfig:
     lr_halve_patience: int = 4   # plateau validations before halving LR
     validation_interval: int = 0  # steps between validate() (0 = off)
     weight_ema_decay: float = 0.0  # param EMA (reference ships _ema.pth)
+    # "single": one AdamW with global grad clip; "multi": per-module AdamW
+    # with per-module clipping (exact reference MultiOptimizer semantics,
+    # optimizers.py:11-96 + train.py:889-894)
+    optimizer_kind: str = "single"
     val_batches: int = 4          # batches averaged per validation
     early_stop_patience: int = 10  # validations w/o improvement -> stop
     perturb_min: float = 0.85
@@ -106,9 +110,14 @@ class Trainer:
         schedule = warmup_cosine(tcfg.base_lr, tcfg.warmup_steps,
                                  tcfg.max_steps)
         self._lr_scale = 1.0  # plateau halving multiplier
-        self.optimizer = make_optimizer(
-            lambda step: schedule(step) * self._lr_scale,
-            grad_clip=tcfg.grad_clip)
+        scaled = lambda step: schedule(step) * self._lr_scale  # noqa: E731
+        if tcfg.optimizer_kind == "multi":
+            from seedvc_tpu.train.optim import make_multi_optimizer
+
+            self.optimizer = make_multi_optimizer(scaled,
+                                                  grad_clip=tcfg.grad_clip)
+        else:
+            self.optimizer = make_optimizer(scaled, grad_clip=tcfg.grad_clip)
 
         in_ch = cfg.model_params.length_regulator.in_channels
         example = {
