@@ -200,8 +200,12 @@ class VoiceConverter:
                 return whisper.apply({"params": params}, mel)
 
         @jax.jit
-        def style_fn(params, fbank_feat):
-            return campplus.apply({"params": params}, fbank_feat)
+        def style_fn(params, wave_16k):
+            # kaldi fbank + mean-sub + CAMPPlus in one program (fbank eager
+            # would cost several extra device dispatches per conversion)
+            fb = kaldi_fbank(wave_16k)
+            fb = fb - fb.mean(axis=1, keepdims=True)
+            return campplus.apply({"params": params}, fb)
 
         @partial(jax.jit, static_argnames=("target_len",))
         def regulate_fn(params, s, ylens, target_len, f0=None):
@@ -339,9 +343,7 @@ class VoiceConverter:
         return shifted.astype(np.float32), f0_ori.astype(np.float32)
 
     def compute_style(self, wave_16k: np.ndarray) -> jax.Array:
-        feat = kaldi_fbank(jnp.asarray(wave_16k[None]))
-        feat = feat - feat.mean(axis=1, keepdims=True)
-        return self._style_fn(self.campplus_params, feat)
+        return self._style_fn(self.campplus_params, jnp.asarray(wave_16k[None]))
 
     # ------------------------------------------------------------------
     def convert(self, source, source_sr, reference, reference_sr,

@@ -131,17 +131,19 @@ class VoiceConverterV2:
         cfg = self.cfg
 
         @jax.jit
-        def ssl_fn(p, wave16):
-            return self.ssl.apply({"params": p}, wave16)
-
-        @jax.jit
-        def quant_fn(p_n, p_w, feats):
+        def content_fn(p_ssl, p_n, p_w, wave16):
+            # SSL + both quantizers in ONE dispatch (the narrow/wide
+            # extractors share the SSL forward, vc_wrapper.py:94)
+            feats = self.ssl.apply({"params": p_ssl}, wave16)
             _, idx_n, _ = self.narrow.apply({"params": p_n}, feats)
             _, idx_w, _ = self.wide.apply({"params": p_w}, feats)
             return idx_n, idx_w
 
         @jax.jit
-        def style_fn(p, fb):
+        def style_fn(p, wave16):
+            # kaldi fbank + mean-sub + CAMPPlus in one program
+            fb = kaldi_fbank(wave16)
+            fb = fb - fb.mean(axis=1, keepdims=True)
             return self.campplus.apply({"params": p}, fb)
 
         @partial(jax.jit, static_argnames=("target_len",))
@@ -187,8 +189,7 @@ class VoiceConverterV2:
             return self.vocoder.apply({"params": p_voc}, gen)
 
         self._sample_vocode_fn = sample_vocode_fn
-        self._ssl_fn = ssl_fn
-        self._quant_fn = quant_fn
+        self._content_fn = content_fn
         self._style_fn = style_fn
         self._cfm_reg_fn = cfm_reg_fn
         self._ar_reg_fn = ar_reg_fn
@@ -202,15 +203,13 @@ class VoiceConverterV2:
         padded_len = -(-max(T, 8000) // bucket) * bucket
         padded = np.zeros(padded_len, np.float32)
         padded[:T] = wave_16k
-        feats = self._ssl_fn(self.p_ssl, jnp.asarray(padded[None]))
         n = T // 320
-        idx_n, idx_w = self._quant_fn(self.p_narrow, self.p_wide, feats)
+        idx_n, idx_w = self._content_fn(self.p_ssl, self.p_narrow,
+                                        self.p_wide, jnp.asarray(padded[None]))
         return np.asarray(idx_n)[:, :n], np.asarray(idx_w)[:, :n]
 
     def compute_style(self, wave_16k: np.ndarray):
-        fb = kaldi_fbank(jnp.asarray(wave_16k[None]))
-        fb = fb - fb.mean(axis=1, keepdims=True)
-        return self._style_fn(self.p_campplus, fb)
+        return self._style_fn(self.p_campplus, jnp.asarray(wave_16k[None]))
 
     def _regulate_tokens(self, reg_fn, p, tokens: np.ndarray, mel_len: int):
         bucket = -(-mel_len // 256) * 256
