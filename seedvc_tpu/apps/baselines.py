@@ -81,6 +81,57 @@ class OpenVoiceBaseline:
         return output_path
 
 
+class CosyVoiceBaseline:
+    """CosyVoice-300M-25Hz VC baseline via a sibling checkout, mirroring the
+    reference adapter (``baselines/cosyvoice.py:5-13``: sys.path-append
+    ``../CosyVoice`` + Matcha-TTS, ``CosyVoice(...).inference_vc``).
+
+    Gated: raises a clear error if the checkout/package is absent (this
+    build environment has no CosyVoice install; the adapter exists so a
+    deployment WITH one scores the same baseline the reference does).
+    """
+
+    def __init__(self, repo_dir: str = "../CosyVoice",
+                 model_dir: str = "pretrained_models/CosyVoice-300M-25Hz"):
+        import os
+        import sys
+
+        sys.path.append(repo_dir)
+        sys.path.append(os.path.join(repo_dir, "third_party", "Matcha-TTS"))
+        try:
+            from cosyvoice.cli.cosyvoice import CosyVoice
+        except ImportError as e:
+            raise RuntimeError(
+                f"CosyVoice baseline needs a checkout at {repo_dir!r} "
+                "(github.com/FunAudioLLM/CosyVoice) with the "
+                "CosyVoice-300M-25Hz model downloaded") from e
+        self._cosyvoice = CosyVoice(model_dir)
+
+    def convert(self, source_path: str, reference_path: str,
+                output_path: str):
+        import numpy as np
+
+        from seedvc_tpu.apps.audio_io import load_wav, save_wav
+
+        import torch
+
+        src, s_sr = load_wav(source_path)
+        ref, r_sr = load_wav(reference_path)
+        import jax.numpy as jnp
+
+        from seedvc_tpu.dsp.resample import resample
+
+        src16 = np.asarray(resample(jnp.asarray(src), s_sr, 16000))
+        ref16 = np.asarray(resample(jnp.asarray(ref), r_sr, 16000))
+        out = None
+        for piece in self._cosyvoice.inference_vc(
+                torch.from_numpy(src16[None]), torch.from_numpy(ref16[None]),
+                stream=False):
+            out = piece["tts_speech"]
+        save_wav(output_path, out.numpy().ravel(), 22050)
+        return output_path
+
+
 class CommandBaseline:
     """External converter via a command template.
 
@@ -110,7 +161,13 @@ def get_baseline(name: str, **kwargs):
     if name == "openvoice":
         return OpenVoiceBaseline(kwargs["checkpoint_pkl"],
                                  tau=kwargs.get("tau", 0.3))
+    if name == "cosyvoice":
+        return CosyVoiceBaseline(
+            repo_dir=kwargs.get("repo_dir") or "../CosyVoice",
+            model_dir=kwargs.get("model_dir")
+            or "pretrained_models/CosyVoice-300M-25Hz")
     if name == "command":
         return CommandBaseline(kwargs["template"],
                                timeout_s=kwargs.get("timeout_s", 600.0))
-    raise KeyError(f"unknown baseline {name!r}; known: openvoice, command")
+    raise KeyError(
+        f"unknown baseline {name!r}; known: openvoice, cosyvoice, command")

@@ -43,6 +43,8 @@ def main(argv=None):
     ap.add_argument("--astral-wide", help="ASTRAL bsq2048 checkpoint (v2)")
     ap.add_argument("--hubert", help="HF hubert-large dir (v2 SSL)")
     ap.add_argument("--openvoice", help="OpenVoiceV2 converter checkpoint.pth")
+    ap.add_argument("--wavlm-sv", help="microsoft/wavlm-base-plus-sv dir or "
+                                       ".bin (SECS extractor, eval harness)")
     ap.add_argument("--use-ema", action="store_true",
                     help="load EMA weights from the DiT checkpoint")
     args = ap.parse_args(argv)
@@ -144,6 +146,22 @@ def main(argv=None):
 
         sd = torch.load(args.openvoice, map_location="cpu", weights_only=False)
         _save(args.out, "openvoice", convert_openvoice(sd))
+
+    if args.wavlm_sv:
+        from seedvc_tpu.convert.wavlm_sv import convert_wavlm_sv
+
+        path = args.wavlm_sv
+        if os.path.isdir(path):
+            candidates = [os.path.join(path, n) for n in
+                          ("pytorch_model.bin", "model.safetensors")]
+            path = next(p for p in candidates if os.path.exists(p))
+        if path.endswith(".safetensors"):
+            from safetensors.torch import load_file
+
+            sd = load_file(path)
+        else:
+            sd = torch.load(path, map_location="cpu", weights_only=False)
+        _save(args.out, "wavlm_sv", convert_wavlm_sv(sd))
 
 
 if __name__ == "__main__":

@@ -5,9 +5,13 @@ directory of source utterances against a directory of reference voices and
 scores them.
 
 Metrics:
-- SECS (speaker-embedding cosine similarity) via the framework's CAMPPlus
-  embeddings (the reference offers resemblyzer/wavlm extractors — external
-  checkpoints; CAMPPlus is the built-in extractor here).
+- SECS (speaker-embedding cosine similarity).  ``--xvector-extractor wavlm``
+  scores with the WavLM x-vector port (``models/wavlm_sv.py``; the reference
+  default, ``eval.py:293-303`` loads microsoft/wavlm-base-plus-sv — convert
+  it with ``seedvc_tpu.convert.wavlm_sv`` and pass ``--xvector-checkpoint``).
+  CAMPPlus — the encoder the model conditions on — is reported as a
+  secondary ``secs_campplus`` column (primary scoring with it would be
+  self-grading).
 - WER/CER via a *local* HF CTC ASR checkpoint (``--asr-model``; the
   reference uses hubert-large-ls960-ft + jiwer — edit distances are
   computed natively in ``seedvc_tpu.apps.metrics``). Ground-truth
@@ -50,6 +54,13 @@ def main(argv=None):
     ap.add_argument("--diffusion-steps", type=int, default=25)
     ap.add_argument("--inference-cfg-rate", type=float, default=0.7)
     ap.add_argument("--max-samples", type=int, default=20)
+    ap.add_argument("--xvector-extractor", default="campplus",
+                    choices=["campplus", "wavlm"],
+                    help="speaker embedding for SECS (reference eval.py:26 "
+                         "defaults to wavlm-base-plus-sv)")
+    ap.add_argument("--xvector-checkpoint", default=None,
+                    help="wavlm extractor: pkl of converted WavLMSV params "
+                         "(random init without it — scores meaningless)")
     ap.add_argument("--asr-model", default=None,
                     help="local HF CTC ASR model dir for WER/CER (optional)")
     ap.add_argument("--transcripts", default=None,
@@ -60,13 +71,16 @@ def main(argv=None):
                     help="F0CORR/F0RMSE source vs converted via RMVPE "
                          "(SVC presets; reference EVAL.md:62-70)")
     ap.add_argument("--baseline", default=None,
-                    choices=["openvoice", "command"],
+                    choices=["openvoice", "cosyvoice", "command"],
                     help="score a baseline system instead of the framework")
     ap.add_argument("--baseline-checkpoint", default=None,
                     help="openvoice baseline: converted openvoice.pkl")
     ap.add_argument("--baseline-cmd", default=None,
                     help="command baseline template with {source} "
                          "{reference} {output}")
+    ap.add_argument("--cosyvoice-dir", default="../CosyVoice",
+                    help="cosyvoice baseline: sibling checkout path "
+                         "(reference baselines/cosyvoice.py:5-7)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -89,13 +103,41 @@ def main(argv=None):
 
     converter = VoiceConverter(get_preset(args.preset), **params)
 
+    # speaker-embedding extractor for the primary SECS score
+    if args.xvector_extractor == "wavlm":
+        import jax
+
+        from seedvc_tpu.models.wavlm_sv import WAVLM_BASE_PLUS_SV, WavLMSV
+
+        wavlm = WavLMSV(WAVLM_BASE_PLUS_SV)
+        if args.xvector_checkpoint:
+            with open(args.xvector_checkpoint, "rb") as f:
+                wavlm_params = pickle.load(f)
+        else:
+            print("WARNING: --xvector-extractor wavlm without "
+                  "--xvector-checkpoint: random weights, SECS meaningless")
+            wavlm_params = jax.jit(wavlm.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 16000)))["params"]
+        _wavlm_fn = jax.jit(lambda p, w: wavlm.apply({"params": p}, w))
+
+        def embed(wave_16k):
+            # 5 s buckets -> few compiles
+            bucket = 5 * 16000
+            n = -(-max(len(wave_16k), 8000) // bucket) * bucket
+            padded = np.zeros(n, np.float32)
+            padded[: len(wave_16k)] = wave_16k
+            return _wavlm_fn(wavlm_params, jnp.asarray(padded[None]))
+    else:
+        def embed(wave_16k):
+            return converter.compute_style(wave_16k)
+
     baseline = None
     if args.baseline:
         from seedvc_tpu.apps.baselines import get_baseline
 
         baseline = get_baseline(
             args.baseline, checkpoint_pkl=args.baseline_checkpoint,
-            template=args.baseline_cmd)
+            template=args.baseline_cmd, repo_dir=args.cosyvoice_dir)
 
     transcripts = {}
     if args.transcripts:
@@ -125,7 +167,8 @@ def main(argv=None):
     for ti, tgt_path in enumerate(targets):
         ref, ref_sr = load_wav(tgt_path)
         ref_16k = np.asarray(resample(jnp.asarray(ref), ref_sr, 16000))
-        ref_emb = converter.compute_style(ref_16k)
+        ref_emb = embed(ref_16k)
+        ref_emb_cp = converter.compute_style(ref_16k)
         for si, src_path in enumerate(sources):
             src, src_sr = load_wav(src_path)
             out_name = (f"{os.path.basename(tgt_path).split('.')[0]}_"
@@ -143,9 +186,14 @@ def main(argv=None):
                     cfg_rate=args.inference_cfg_rate)
                 save_wav(out_path, wave, sr)
             conv_16k = np.asarray(resample(jnp.asarray(wave), sr, 16000))
-            conv_emb = converter.compute_style(conv_16k)
+            conv_emb = embed(conv_16k)
             row = {"source": src_path, "target": tgt_path,
                    "secs": secs(conv_emb, ref_emb)}
+            if args.xvector_extractor != "campplus":
+                # CAMPPlus similarity kept as a secondary column (it is the
+                # conditioning encoder — self-grading if used as primary)
+                row["secs_campplus"] = secs(
+                    converter.compute_style(conv_16k), ref_emb_cp)
 
             if transcriber is not None:
                 from seedvc_tpu.apps.metrics import cer, wer
@@ -179,8 +227,9 @@ def main(argv=None):
             print(f"[{ti}:{si}] SECS={row['secs']:.4f} {out_name}")
 
     summary = {"n": len(results)}
-    for metric in ("secs", "wer", "cer", "dnsmos_sig", "dnsmos_bak",
-                   "dnsmos_ovrl", "f0_corr", "f0_rmse_cents"):
+    for metric in ("secs", "secs_campplus", "wer", "cer", "dnsmos_sig",
+                   "dnsmos_bak", "dnsmos_ovrl", "dnsmos_p808", "f0_corr",
+                   "f0_rmse_cents"):
         vals = [r[metric] for r in results
                 if metric in r and np.isfinite(r[metric])]
         if vals:

@@ -78,13 +78,44 @@ class CTCTranscriber:
         return self.processor.decode(ids)
 
 
+def p808_melspec(audio_16k) -> "np.ndarray":
+    """Mel features for the DNSMOS P.808 model (reference
+    ``baselines/dnsmos/dnsmos_computor.py:39-57``): torchaudio
+    MelSpectrogram(sr=16000, n_fft=321, hop=160, n_mels=120,
+    mel_scale='slaney', norm=None, power=2, center/reflect), then
+    ``(librosa.power_to_db(ref=max) + 40) / 40``, transposed to (T, 120).
+    Implemented in numpy (torchaudio is not installed here)."""
+    import numpy as np
+
+    from seedvc_tpu.dsp.mel import hann_window, mel_filterbank
+
+    n_fft, hop, n_mels = 321, 160, 120
+    audio = np.asarray(audio_16k, np.float32)
+    pad = n_fft // 2
+    padded = np.pad(audio, (pad, pad), mode="reflect")
+    # torch.stft frame count with center padding (odd n_fft: 2*pad = n_fft-1)
+    n_frames = 1 + (len(padded) - n_fft) // hop
+    win = hann_window(n_fft, periodic=True).astype(np.float32)
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = padded[idx] * win[None, :]
+    spec = np.abs(np.fft.rfft(frames, n=n_fft, axis=-1)) ** 2  # (T, 161)
+    fb = mel_filterbank(16000, n_fft, n_mels, fmin=0.0, fmax=8000.0,
+                        norm=None)  # (120, 161)
+    mel = spec @ fb.T  # (T, 120)
+    db = 10.0 * np.log10(np.maximum(mel, 1e-10))
+    db = db - 10.0 * np.log10(np.maximum(mel.max(), 1e-10))
+    db = np.maximum(db, db.max() - 80.0)
+    return ((db + 40.0) / 40.0).astype(np.float32)
+
+
 class DNSMOS:
-    """DNSMOS P.835 scorer over the published ONNX models.
+    """DNSMOS scorer over the published ONNX models.
 
     Gated on onnxruntime (not installed in this build environment); point
-    ``model_dir`` at a directory containing ``sig_bak_ovr.onnx`` — the same
-    file the reference ships under ``baselines/dnsmos/`` (the reference's
-    separate P.808 model_v8.onnx is not scored here).
+    ``model_dir`` at a directory containing ``sig_bak_ovr.onnx`` (P.835
+    SIG/BAK/OVRL) — the same file the reference ships under
+    ``baselines/dnsmos/`` — and optionally ``model_v8.onnx`` for the P.808
+    MOS column (``dnsmos_computor.py:27-45``, ``:104-106``).
     """
 
     INPUT_LENGTH_S = 9.01
@@ -101,6 +132,11 @@ class DNSMOS:
         self.sess = ort.InferenceSession(
             os.path.join(model_dir, "sig_bak_ovr.onnx"),
             providers=["CPUExecutionProvider"])
+        self.p808_sess = None
+        p808_path = os.path.join(model_dir, "model_v8.onnx")
+        if os.path.exists(p808_path):
+            self.p808_sess = ort.InferenceSession(
+                p808_path, providers=["CPUExecutionProvider"])
 
     @staticmethod
     def _poly_fit(sig, bak, ovr):
@@ -126,16 +162,24 @@ class DNSMOS:
         while len(wave) < need:
             wave = np.concatenate([wave, wave])
         hop = fs  # 1 s hops over 9.01 s windows, as the reference scorer
-        sigs, baks, ovrs = [], [], []
+        sigs, baks, ovrs, p808s = [], [], [], []
         for start in range(0, len(wave) - need + 1, hop):
-            seg = wave[start: start + need][None]
-            raw = self.sess.run(None, {"input_1": seg})[0][0]
+            seg = wave[start: start + need]
+            raw = self.sess.run(None, {"input_1": seg[None]})[0][0]
             s, b, o = self._poly_fit(*raw)
             sigs.append(s)
             baks.append(b)
             ovrs.append(o)
-        return {"sig": float(np.mean(sigs)), "bak": float(np.mean(baks)),
-                "ovrl": float(np.mean(ovrs))}
+            if self.p808_sess is not None:
+                # the reference feeds audio_seg[:-160] (dnsmos_computor:101)
+                feats = p808_melspec(seg[:-160])[None]
+                p808s.append(float(
+                    self.p808_sess.run(None, {"input_1": feats})[0][0][0]))
+        out = {"sig": float(np.mean(sigs)), "bak": float(np.mean(baks)),
+               "ovrl": float(np.mean(ovrs))}
+        if p808s:
+            out["p808"] = float(np.mean(p808s))
+        return out
 
 
 def f0_metrics(f0_ref, f0_hyp) -> dict:

@@ -168,6 +168,63 @@ def bench_vocoder(B=1, T=512):
                       "audio_s_per_s": round(samples / 22050 / dt, 1)}))
 
 
+def bench_ar_decode(B=1, n_tokens=128, max_seq=4096):
+    """Incremental AR decode ms/token at the reference model size
+    (768d/12L, GQA 2 KV heads; ``modules/v2/ar.py``): one fori_loop over
+    decode_step with an argmax->embed dependency between steps (sampling
+    excluded — that's host-free anyway; this isolates the model+cache
+    path).  Round-1 baseline: 1.9 ms/token (jnp.repeat GQA)."""
+    import dataclasses as _dc
+
+    from seedvc_tpu.models.ar import ARConfig, ARTransformer
+
+    cfg = _dc.replace(ARConfig(), max_seq_len=max_seq)
+    model = ARTransformer(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((B, 4), jnp.int32),
+        jnp.broadcast_to(jnp.arange(4)[None], (B, 4)),
+        jnp.tril(jnp.ones((4, 4), bool))[None, None], method=model.init_all)
+    variables = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        variables)
+    k0 = jnp.zeros((cfg.n_layer, B, max_seq, cfg.n_local_heads, cfg.head_dim),
+                   jnp.bfloat16)
+    v0 = jnp.zeros_like(k0)
+
+    @jax.jit
+    def run(variables, kc, vc):
+        x0 = model.apply(variables, jnp.zeros((B, 1), jnp.int32),
+                         method=model.embed_tokens)
+
+        def body(i, carry):
+            kc, vc, x = carry
+            logits, kc, vc = model.apply(
+                variables, x, jnp.full((B,), i, jnp.int32), i, kc, vc,
+                method=model.decode_step)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            x = model.apply(variables, tok[:, None],
+                            method=model.embed_tokens)
+            return kc, vc, x
+
+        _, _, x = jax.lax.fori_loop(0, n_tokens, body, (k0, v0, x0))
+        return jnp.sum(x.astype(jnp.float32))
+
+    np.asarray(run(variables, k0, v0))  # compile
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(variables, k0, v0))
+        dt = min(dt, time.perf_counter() - t0)
+    per_tok = dt / n_tokens
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(variables))
+    print(json.dumps({
+        "name": f"ar_decode B{B} seq{max_seq} ({n_params/1e6:.0f}M params)",
+        "ms_per_token": round(per_tok * 1e3, 3),
+        "tokens_per_s": round(B / per_tok, 1),
+    }))
+
+
 ALL = {
     "attention": bench_attention,
     "attention_xla": lambda: bench_attention(flash=False),
@@ -175,6 +232,8 @@ ALL = {
     "wavenet": bench_wavenet,
     "dit": bench_dit_step,
     "vocoder": bench_vocoder,
+    "ar_decode": bench_ar_decode,
+    "ar_decode_b4": lambda: bench_ar_decode(B=4),
 }
 
 

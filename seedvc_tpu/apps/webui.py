@@ -9,8 +9,14 @@ upload source + reference audio, tweak the conversion knobs, get audio back.
     python -m seedvc_tpu.apps.webui --port 7860 --checkpoint-dir ./checkpoints
 
 Endpoints:
-- ``GET  /``             single-page UI (VC / SVC / v2 tabs)
+- ``GET  /``             single-page UI (VC / SVC / v2 tabs, example rows)
 - ``POST /api/convert``  multipart form -> ``audio/wav`` (stats in headers)
+- ``POST /api/convert_stream``  same form -> chunked ``audio/wav``, one
+  chunk per crossfaded piece as the pipeline generator yields it (the
+  reference app streams mp3 chunks the same way, ``app.py:167-169``,
+  ``seed_vc_wrapper.py:201-286``)
+- ``GET  /api/examples`` example audio rows (reference ``app.py:158-165``)
+- ``GET  /examples/<n>`` one example wav
 - ``GET  /api/status``   loaded models + config, JSON
 
 Conversion requests are serialized with a lock: the TPU tunnel admits one
@@ -59,12 +65,46 @@ def _f(fields, name, cast, default):
     return cast(raw)
 
 
+def synth_examples() -> dict[str, bytes]:
+    """Built-in example rows (reference ``app.py:158-165`` wires
+    ``examples/source/*.wav``; without shipped speech audio, synthesize a
+    vibrato 'source' and a darker 'reference' so the rows always work)."""
+    import numpy as np
+    from scipy.io import wavfile
+
+    sr = 22050
+    t = np.arange(2 * sr) / sr
+
+    def wav(f0, vibrato):
+        phase = 2 * np.pi * (f0 * t + vibrato * np.sin(2 * np.pi * 5 * t))
+        wave = 0.4 * np.sin(phase) * (0.6 + 0.4 * np.sin(2 * np.pi * 1.5 * t))
+        buf = io.BytesIO()
+        wavfile.write(buf, sr, (wave * 32767).astype(np.int16))
+        return buf.getvalue()
+
+    return {"source_demo.wav": wav(220.0, 2.0),
+            "reference_demo.wav": wav(130.0, 0.5)}
+
+
+def load_examples(examples_dir=None) -> dict[str, bytes]:
+    if not examples_dir:
+        return synth_examples()
+    out = {}
+    for name in sorted(os.listdir(examples_dir)):
+        if name.lower().endswith(".wav"):
+            with open(os.path.join(examples_dir, name), "rb") as f:
+                out[name] = f.read()
+    return out or synth_examples()
+
+
 class ConverterRegistry:
     """Lazily builds and caches pipeline objects per mode."""
 
-    def __init__(self, checkpoint_dir=None, v2_checkpoint_dir=None):
+    def __init__(self, checkpoint_dir=None, v2_checkpoint_dir=None,
+                 examples_dir=None):
         self.checkpoint_dir = checkpoint_dir
         self.v2_checkpoint_dir = v2_checkpoint_dir
+        self.examples = load_examples(examples_dir)
         self._cache: dict[str, object] = {}
         self.lock = threading.Lock()  # serialize TPU work
 
@@ -122,11 +162,13 @@ PAGE = """<!doctype html>
  <fieldset><legend>Audio</legend>
   <div class="row"><label>Source audio (wav)</label><input type="file" name="source" accept=".wav" required></div>
   <div class="row"><label>Reference voice (wav)</label><input type="file" name="target" accept=".wav" required></div>
+  <div class="row" id="examples"></div>
  </fieldset>
  <fieldset><legend>Common</legend>
   <div class="row"><label>Diffusion steps</label><input type="number" name="diffusion_steps" value="25" min="1" max="200"></div>
   <div class="row"><label>Length adjust</label><input type="number" name="length_adjust" value="1.0" step="0.05"></div>
   <div class="row"><label>CFG rate</label><input type="number" name="cfg_rate" value="0.7" step="0.05"></div>
+  <div class="row"><label>Stream output (chunked)</label><input type="checkbox" id="stream" checked></div>
  </fieldset>
  <fieldset id="f-svc" style="display:none"><legend>F0 (singing)</legend>
   <div class="row"><label>Auto F0 adjust</label><input type="checkbox" name="auto_f0_adjust" checked></div>
@@ -150,6 +192,22 @@ function setMode(m){mode=m;
  for(const t of ['vc','svc','v2']) document.getElementById('tab-'+t).classList.toggle('active',t===m);
  document.getElementById('f-svc').style.display = m==='svc'?'':'none';
  document.getElementById('f-v2').style.display = m==='v2'?'':'none';}
+async function loadExamples(){
+ const rows=await (await fetch('/api/examples')).json();
+ const div=document.getElementById('examples');
+ for(const ex of rows){
+  const b=document.createElement('button'); b.type='button';
+  b.textContent='Use '+ex.name+' as '+(ex.slot||'source');
+  b.onclick=async ()=>{
+   const blob=await (await fetch(ex.url)).blob();
+   const dt=new DataTransfer();
+   dt.items.add(new File([blob], ex.name, {type:'audio/wav'}));
+   document.querySelector('input[name='+(ex.slot||'source')+']').files=dt.files;
+  };
+  div.appendChild(b);
+ }
+}
+loadExamples();
 document.getElementById('form').addEventListener('submit', async (e)=>{
  e.preventDefault();
  const fd=new FormData(e.target); fd.set('mode',mode);
@@ -158,17 +216,35 @@ document.getElementById('form').addEventListener('submit', async (e)=>{
  for(const cb of e.target.querySelectorAll('input[type=checkbox]'))
    fd.set(cb.name, cb.checked ? '1' : '0');
  const st=document.getElementById('status'); st.textContent='converting…';
- const r=await fetch('/api/convert',{method:'POST',body:fd});
+ const stream=document.getElementById('stream').checked;
+ const r=await fetch(stream?'/api/convert_stream':'/api/convert',
+                     {method:'POST',body:fd});
  if(!r.ok){st.textContent='error: '+await r.text();return;}
- st.textContent='RTF '+(r.headers.get('X-RTF')||'?');
+ st.textContent=stream?'streaming…':('RTF '+(r.headers.get('X-RTF')||'?'));
  const p=document.getElementById('player');
  p.src=URL.createObjectURL(await r.blob()); p.style.display=''; p.play();
+ if(stream) st.textContent='done';
 });
 </script></body></html>"""
 
 
+def wav_stream_header(sr: int, bits: int = 16, channels: int = 1) -> bytes:
+    """RIFF/WAVE header with unknown (0xFFFFFFFF) sizes for live streaming."""
+    import struct
+
+    byte_rate = sr * channels * bits // 8
+    block_align = channels * bits // 8
+    return b"".join([
+        b"RIFF", struct.pack("<I", 0xFFFFFFFF), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, channels, sr, byte_rate,
+                             block_align, bits),
+        b"data", struct.pack("<I", 0xFFFFFFFF),
+    ])
+
+
 class Handler(BaseHTTPRequestHandler):
     server_version = "seedvc_tpu"
+    protocol_version = "HTTP/1.1"  # chunked transfer-encoding for streaming
 
     @property
     def registry(self) -> ConverterRegistry:
@@ -196,17 +272,33 @@ class Handler(BaseHTTPRequestHandler):
                 "checkpoint_dir": self.registry.checkpoint_dir,
             }).encode()
             self._send(200, body, "application/json")
+        elif self.path == "/api/examples":
+            names = sorted(self.registry.examples)
+            rows = [{"name": n, "url": f"/examples/{n}",
+                     "slot": ("target" if "ref" in n.lower() else "source")}
+                    for n in names]
+            self._send(200, json.dumps(rows).encode(), "application/json")
+        elif self.path.startswith("/examples/"):
+            name = os.path.basename(self.path[len("/examples/"):])
+            data = self.registry.examples.get(name)
+            if data is None:
+                self._send(404, b"no such example", "text/plain")
+            else:
+                self._send(200, data, "audio/wav")
         else:
             self._send(404, b"not found", "text/plain")
 
     def do_POST(self):
-        if self.path != "/api/convert":
+        if self.path not in ("/api/convert", "/api/convert_stream"):
             self._send(404, b"not found", "text/plain")
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))
             fields = parse_multipart(self.headers.get("Content-Type", ""),
                                      self.rfile.read(length))
+            if self.path == "/api/convert_stream":
+                self._convert_stream(fields)
+                return
             wav_bytes, stats = self._convert(fields)
         except Exception as e:  # surfaced to the browser
             self._send(400, f"{type(e).__name__}: {e}".encode(), "text/plain")
@@ -217,11 +309,10 @@ class Handler(BaseHTTPRequestHandler):
         ])
 
     # ------------------------------------------------------------------
-    def _convert(self, fields: dict) -> tuple[bytes, dict]:
+    def _parse_request(self, fields: dict):
+        """Common request parsing: returns (mode, conv, call_kwargs, audio)."""
         import numpy as np
         from scipy.io import wavfile
-
-        from seedvc_tpu.apps.audio_io import load_wav, save_wav  # noqa: F401
 
         for req in ("source", "target"):
             if req not in fields or not fields[req][1]:
@@ -245,48 +336,97 @@ class Handler(BaseHTTPRequestHandler):
         mode = _f(fields, "mode", str, "vc")
         steps = _f(fields, "diffusion_steps", int, 25)
         length_adjust = _f(fields, "length_adjust", float, 1.0)
-        cfg_rate = _f(fields, "cfg_rate", float, 0.7)
         seed = _f(fields, "seed", int, 0)
 
-        registry = self.registry
-        with registry.lock:
+        if mode == "v2":
+            conv = self.registry.get("v2", "v2")
+            kwargs = dict(
+                convert_style=_f(fields, "convert_style", bool, True),
+                anonymization_only=_f(fields, "anonymization_only", bool,
+                                      False),
+                diffusion_steps=steps,
+                length_adjust=length_adjust,
+                intelligibility_cfg_rate=_f(
+                    fields, "intelligibility_cfg_rate", float, 0.7),
+                similarity_cfg_rate=_f(
+                    fields, "similarity_cfg_rate", float, 0.7),
+                top_p=_f(fields, "top_p", float, 0.7),
+                temperature=_f(fields, "temperature", float, 0.7),
+                repetition_penalty=_f(fields, "repetition_penalty", float,
+                                      1.5),
+                seed=seed)
+        else:
+            # SVC uses the F0-conditioned 44.1 kHz preset (app_svc.py);
+            # plain VC the 22.05 kHz whisper-small one (app_vc.py).
+            default_preset = ("whisper_base_f0_44k" if mode == "svc"
+                              else "whisper_small_wavenet")
+            preset = _f(fields, "preset", str, default_preset)
+            conv = self.registry.get("v1", preset)
+            kwargs = dict(
+                diffusion_steps=steps,
+                length_adjust=length_adjust,
+                cfg_rate=_f(fields, "cfg_rate", float, 0.7),
+                auto_f0_adjust=_f(fields, "auto_f0_adjust", bool, True),
+                pitch_shift=_f(fields, "pitch_shift", float, 0.0),
+                seed=seed)
+        return mode, conv, kwargs, (src, src_sr, ref, ref_sr)
+
+    def _convert(self, fields: dict) -> tuple[bytes, dict]:
+        import numpy as np
+        from scipy.io import wavfile
+
+        mode, conv, kwargs, audio = self._parse_request(fields)
+        with self.registry.lock:
             if mode == "v2":
-                conv = registry.get("v2", "v2")
-                sr, out, stats = conv.convert_voice(
-                    src, src_sr, ref, ref_sr,
-                    convert_style=_f(fields, "convert_style", bool, True),
-                    anonymization_only=_f(fields, "anonymization_only", bool,
-                                          False),
-                    diffusion_steps=steps,
-                    length_adjust=length_adjust,
-                    intelligibility_cfg_rate=_f(
-                        fields, "intelligibility_cfg_rate", float, 0.7),
-                    similarity_cfg_rate=_f(
-                        fields, "similarity_cfg_rate", float, 0.7),
-                    top_p=_f(fields, "top_p", float, 0.7),
-                    temperature=_f(fields, "temperature", float, 0.7),
-                    repetition_penalty=_f(fields, "repetition_penalty", float,
-                                          1.5),
-                    seed=seed)
+                sr, out, stats = conv.convert_voice(*audio, **kwargs)
             else:
-                # SVC uses the F0-conditioned 44.1 kHz preset (app_svc.py);
-                # plain VC the 22.05 kHz whisper-small one (app_vc.py).
-                default_preset = ("whisper_base_f0_44k" if mode == "svc"
-                                  else "whisper_small_wavenet")
-                preset = _f(fields, "preset", str, default_preset)
-                conv = registry.get("v1", preset)
-                sr, out, stats = conv.convert(
-                    src, src_sr, ref, ref_sr,
-                    diffusion_steps=steps,
-                    length_adjust=length_adjust,
-                    cfg_rate=cfg_rate,
-                    auto_f0_adjust=_f(fields, "auto_f0_adjust", bool, True),
-                    pitch_shift=_f(fields, "pitch_shift", float, 0.0),
-                    seed=seed)
+                sr, out, stats = conv.convert(*audio, **kwargs)
 
         buf = io.BytesIO()
         wavfile.write(buf, sr, (np.clip(out, -1, 1) * 32767).astype(np.int16))
         return buf.getvalue(), stats
+
+    def _convert_stream(self, fields: dict):
+        """Chunked ``audio/wav`` response: one HTTP chunk per crossfaded
+        pipeline piece (reference streams mp3 chunks from the same kind of
+        generator, ``seed_vc_wrapper.py:201-286``)."""
+        import numpy as np
+
+        try:
+            mode, conv, kwargs, audio = self._parse_request(fields)
+            gen_fn = (conv.convert_voice_with_streaming if mode == "v2"
+                      else conv.convert_with_streaming)
+            gen = gen_fn(*audio, **kwargs)
+        except Exception as e:
+            self._send(400, f"{type(e).__name__}: {e}".encode(), "text/plain")
+            return
+
+        def write_chunk(data: bytes):
+            self.wfile.write(f"{len(data):X}\r\n".encode())
+            self.wfile.write(data)
+            self.wfile.write(b"\r\n")
+
+        headers_sent = False
+        with self.registry.lock:
+            try:
+                for sr, piece, stats in gen:
+                    if not headers_sent:
+                        self.send_response(200)
+                        self.send_header("Content-Type", "audio/wav")
+                        self.send_header("Transfer-Encoding", "chunked")
+                        self.send_header("Cache-Control", "no-store")
+                        self.end_headers()
+                        write_chunk(wav_stream_header(sr))
+                        headers_sent = True
+                    pcm = (np.clip(piece, -1, 1) * 32767).astype("<i2")
+                    write_chunk(pcm.tobytes())
+            except Exception as e:
+                if not headers_sent:
+                    self._send(400, f"{type(e).__name__}: {e}".encode(),
+                               "text/plain")
+                    return
+                raise  # mid-stream: connection drops, client sees truncation
+        self.wfile.write(b"0\r\n\r\n")
 
 
 def make_server(host: str, port: int, registry: ConverterRegistry,
@@ -304,13 +444,17 @@ def main(argv=None):
     ap.add_argument("--checkpoint-dir", default=None,
                     help="converted v1 .pkl parameter trees")
     ap.add_argument("--v2-checkpoint-dir", default=None)
+    ap.add_argument("--examples-dir", default=None,
+                    help="dir of example wavs for the UI rows (reference "
+                         "app.py:158-165; synthesized demos without it)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
     if not args.checkpoint_dir:
         print("[warn] no --checkpoint-dir: models run with RANDOM weights",
               file=sys.stderr)
-    registry = ConverterRegistry(args.checkpoint_dir, args.v2_checkpoint_dir)
+    registry = ConverterRegistry(args.checkpoint_dir, args.v2_checkpoint_dir,
+                                 examples_dir=args.examples_dir)
     server = make_server(args.host, args.port, registry, args.verbose)
     print(f"serving on http://{args.host}:{args.port}")
     try:

@@ -286,10 +286,32 @@ def preset_whisper_base_f0_44k() -> SeedVCConfig:
     )
 
 
+def _cantonese(base: SeedVCConfig) -> SeedVCConfig:
+    """Cantonese presets (``configs/presets/config_cantonese*.yml``) differ
+    from their base preset only in the whisper checkpoint:
+    ``alvanlii/whisper-small-cantonese``."""
+    mp = dataclasses.replace(
+        base.model_params,
+        speech_tokenizer=dataclasses.replace(
+            base.model_params.speech_tokenizer,
+            name="alvanlii/whisper-small-cantonese"))
+    return dataclasses.replace(base, model_params=mp)
+
+
+def preset_cantonese_whisper_small_wavenet() -> SeedVCConfig:
+    return _cantonese(preset_whisper_small_wavenet())
+
+
+def preset_cantonese_whisper_base_f0_44k() -> SeedVCConfig:
+    return _cantonese(preset_whisper_base_f0_44k())
+
+
 PRESETS = {
     "whisper_small_wavenet": preset_whisper_small_wavenet,
     "xlsr_tiny": preset_xlsr_tiny,
     "whisper_base_f0_44k": preset_whisper_base_f0_44k,
+    "cantonese_whisper_small_wavenet": preset_cantonese_whisper_small_wavenet,
+    "cantonese_whisper_base_f0_44k": preset_cantonese_whisper_base_f0_44k,
 }
 
 

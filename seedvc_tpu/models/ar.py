@@ -87,16 +87,20 @@ class ARAttention(nn.Module):
         else:
             k_all, v_all = k, v
 
+        # GQA via grouped einsum — NO jnp.repeat: repeating the KV cache
+        # materializes a (B, max_seq, n_head, hd) copy in HBM per layer per
+        # decode step (6x the cache), which dominated decode latency.  The
+        # grouped contraction reads each KV entry once.
         rep = c.n_head // c.n_local_heads
-        k_all = jnp.repeat(k_all, rep, axis=2)
-        v_all = jnp.repeat(v_all, rep, axis=2)
-
+        qg = q.reshape(B, S, c.n_local_heads, rep, c.head_dim)
         scale = c.head_dim ** -0.5
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_all,
+        logits = jnp.einsum("bsgrd,bkgd->bgrsk", qg, k_all,
                             preferred_element_type=jnp.float32) * scale
-        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        # mask: (B, 1, S|1, K) -> broadcast over (g, r)
+        logits = jnp.where(mask[:, :, None], logits,
+                           jnp.finfo(jnp.float32).min)
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v_all,
+        out = jnp.einsum("bgrsk,bkgd->bsgrd", probs, v_all,
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.reshape(B, S, c.n_head * c.head_dim)
         out = nn.Dense(c.dim, use_bias=False, name="wo", dtype=x.dtype)(out)

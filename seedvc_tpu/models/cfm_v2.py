@@ -44,8 +44,15 @@ def euler_solve_multicfg(
     temperature: float = 1.0,
     cfg_rates: Sequence[float] = (0.5, 0.5),
     random_voice: bool = False,
+    shard_axis: str | None = None,
 ) -> jax.Array:
-    """estimate_fn(x, prompt_x, x_lens, t, style, mu) -> velocity."""
+    """estimate_fn(x, prompt_x, x_lens, t, style, mu) -> velocity.
+
+    ``shard_axis``: mesh axis name to shard the stacked CFG batch over —
+    the v2 3-way stack [full / text-only / unconditional] is the natural
+    batch axis to split across devices (SURVEY §2.10; mirrors v1
+    ``euler_solve``'s ``shard_axis``).  Requires a surrounding Mesh context.
+    """
     B, T, _ = mu.shape
     r0, r1 = float(cfg_rates[0]), float(cfg_rates[1])
     z = jax.random.normal(key, (B, T, n_mels), mu.dtype) * temperature
@@ -80,18 +87,26 @@ def euler_solve_multicfg(
                     (zero_p, zero_s, zero_m)]
         weights = (1.0 + r0 + r1, -r1, -r0)
 
+    def shard(a):
+        if shard_axis is None:
+            return a
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(shard_axis, *([None] * (a.ndim - 1)))
+        return jax.lax.with_sharding_constraint(a, spec)
+
     n_br = len(branches)
-    est_prompt = jnp.concatenate([b[0] for b in branches], 0)
-    est_style = jnp.concatenate([b[1] for b in branches], 0)
-    est_mu = jnp.concatenate([b[2] for b in branches], 0)
-    est_lens = jnp.concatenate([x_lens] * n_br, 0)
+    est_prompt = shard(jnp.concatenate([b[0] for b in branches], 0))
+    est_style = shard(jnp.concatenate([b[1] for b in branches], 0))
+    est_mu = shard(jnp.concatenate([b[2] for b in branches], 0))
+    est_lens = shard(jnp.concatenate([x_lens] * n_br, 0))
     w = jnp.asarray(weights, mu.dtype)
 
     t_span = cosine_t_span(n_timesteps)
 
     def step(x, ts):
         t_cur, dt = ts
-        xx = jnp.concatenate([x] * n_br, 0)
+        xx = shard(jnp.concatenate([x] * n_br, 0))
         tt = jnp.full((n_br * B,), t_cur, mu.dtype)
         v = estimate_fn(xx, est_prompt, est_lens, tt, est_style, est_mu)
         v = v.reshape(n_br, B, T, n_mels)

@@ -52,6 +52,22 @@ def nearest_interpolate(x: jax.Array, target_len: int) -> jax.Array:
     return x[:, idx, :]
 
 
+def nearest_interpolate_to(x: jax.Array, out_len: jax.Array,
+                           target_len: int) -> jax.Array:
+    """Nearest interpolation to a *traced* length inside a static buffer.
+
+    The reference interpolates to ``ylens.max()`` then masks
+    (``length_regulator.py:120``); the TPU analogue keeps the output buffer
+    shape static (``target_len``) and computes the gather indices from the
+    traced ``out_len``, so one compiled program serves every true length.
+    Positions ``j >= out_len`` are garbage and must be masked by the caller.
+    """
+    t_in = x.shape[1]
+    j = jnp.arange(target_len)
+    idx = jnp.minimum(j * t_in // jnp.maximum(out_len, 1), t_in - 1)
+    return jnp.take(x, idx, axis=1)
+
+
 class VectorQuantize(nn.Module):
     """DAC-style VQ bottleneck (reference ``length_regulator.py:88,136-139``
     builds ``dac.nn.quantize.VectorQuantize(channels, codebook_size, 8)``):
@@ -115,7 +131,11 @@ class InterpolateRegulator(nn.Module):
         else:
             h = nn.Dense(c.channels, name="content_in_proj")(x)
 
-        h = nearest_interpolate(h, target_len)
+        # Reference semantics (``length_regulator.py:120``): interpolate to
+        # ylens.max() (traced), NOT to the static padded buffer length — the
+        # pad region is masked to zero below.
+        out_len = jnp.max(ylens)
+        h = nearest_interpolate_to(h, out_len, target_len)
 
         if c.f0_condition:
             # Declare both branches' params unconditionally so init/apply see
@@ -126,7 +146,7 @@ class InterpolateRegulator(nn.Module):
                 h = h + f0_mask[None]
             else:
                 q = jnp.clip(f0_to_coarse(f0, c.n_f0_bins), 0, c.n_f0_bins - 1)
-                h = h + nearest_interpolate(f0_embed(q), target_len)
+                h = h + nearest_interpolate_to(f0_embed(q), out_len, target_len)
 
         for i in range(len(c.sampling_ratios)):
             h = nn.Conv(c.channels, (3,), padding="SAME", name=f"conv_{i}")(h)
@@ -134,12 +154,16 @@ class InterpolateRegulator(nn.Module):
             h = h * jnp.tanh(jax.nn.softplus(h))  # Mish
         out = nn.Dense(c.channels, name="out_proj")(h)
 
+        # Stable 5-tuple return, exactly like the reference
+        # (``length_regulator.py:136-141`` returns
+        # ``(out, olens, codes, commitment_loss, codebook_loss)`` with None
+        # losses when no VQ) — callers always unpack 5.
         mask = sequence_mask(ylens, target_len)[..., None].astype(out.dtype)
         if c.vector_quantize and not c.is_discrete:
             out_q, commit, cb_loss, codes = VectorQuantize(
                 c.content_codebook_size, out_dim=c.channels, name="vq")(out)
             return out_q * mask, ylens, codes, commit, cb_loss
-        return out * mask, ylens
+        return out * mask, ylens, None, None, None
 
 
 def random_n_quantizers(key: jax.Array, batch: int, n_codebooks: int,

@@ -50,8 +50,10 @@ class VCModel(nn.Module):
         mels: (B, T, C); mel_lens: (B,); style: (B, S).
         """
         B, T, _ = mels.shape
-        alt_cond, _ = self.length_regulator(s_alt, mel_lens, T, f0)
-        ori_cond, _ = self.length_regulator(s_ori, mel_lens, T, f0)
+        alt_cond, _, _, alt_commit, alt_cb = self.length_regulator(
+            s_alt, mel_lens, T, f0)
+        ori_cond, _, _, ori_commit, ori_cb = self.length_regulator(
+            s_ori, mel_lens, T, f0)
 
         # Random prompt length ~ U(0, len*0.3..0.9-ish): the reference draws
         # U(0, mel_len-1) then zeroes 10% of them (train.py:823-826).
@@ -71,4 +73,10 @@ class VCModel(nn.Module):
             mels, mel_lens, prompt_lens, cond, style,
             rng_t=rngs_dict["t"], rng_noise=rngs_dict["noise"],
             rng_drop=rngs_dict.get("drop"), deterministic=deterministic)
+        # VQ commitment/codebook losses (reference ``train.py:883-885``:
+        # loss + 0.05*(alt+ori commitment) + 0.15*(alt+ori codebook)).
+        if alt_commit is not None:
+            loss = (loss
+                    + (alt_commit + ori_commit) * 0.05
+                    + (alt_cb + ori_cb) * 0.15)
         return loss, out

@@ -38,6 +38,7 @@ class BSQ(nn.Module):
     codebook_scale: float = 1.0
     spherical: bool = True
     entropy_loss_weight: float = 0.1
+    commitment_loss_weight: float = 0.0  # reference default (bsq.py:135)
     diversity_gamma: float = 1.0
     inv_temperature: float = 1.0  # tau in soft entropy
     pmean_axis: Optional[str] = None  # mesh axis for codebook stats
@@ -71,7 +72,14 @@ class BSQ(nn.Module):
 
         aux_loss = jnp.zeros((), jnp.float32)
         if training:
-            aux_loss = self._soft_entropy_loss(h)
+            # reference total: entropy_aux * entropy_loss_weight
+            # + commit * commitment_loss_weight (bsq.py:487)
+            aux_loss = self.entropy_loss_weight * self._soft_entropy_loss(h)
+            if self.commitment_loss_weight > 0:
+                # commit loss: MSE(input, quantized.detach()) (bsq.py:448-457)
+                commit = jnp.mean(
+                    (h - jax.lax.stop_gradient(quantized)) ** 2)
+                aux_loss = aux_loss + self.commitment_loss_weight * commit
 
         out = nn.Dense(self.dim, name="project_out")(q_out)
         return out, indices, aux_loss
@@ -89,6 +97,49 @@ class BSQ(nn.Module):
             avg_prob = jax.lax.pmean(avg_prob, self.pmean_axis)
         codebook_entropy = entropy(avg_prob).sum(-1).mean()
         return per_sample_entropy - self.diversity_gamma * codebook_entropy
+
+
+class GroupedResidualBSQ(nn.Module):
+    """Feature-dim-grouped BSQ (reference ``bsq.py:497-569``,
+    GroupedResidualBSQ): split the feature dimension into ``groups`` equal
+    chunks, quantize each with an independent BSQ, concat the quantized
+    chunks and stack the per-group indices.
+
+    Returns (quantized (B, T, dim), indices (groups, B, T),
+    aux_loss (groups,))."""
+
+    dim: int
+    groups: int
+    codebook_size: int
+    codebook_scale: float = 1.0
+    spherical: bool = True
+    entropy_loss_weight: float = 0.1
+    commitment_loss_weight: float = 0.0
+    diversity_gamma: float = 1.0
+    inv_temperature: float = 1.0
+    pmean_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False):
+        assert self.dim % self.groups == 0, "dim must divide into groups"
+        chunks = jnp.split(x, self.groups, axis=-1)
+        outs = []
+        for i, chunk in enumerate(chunks):
+            outs.append(BSQ(
+                dim=self.dim // self.groups,
+                codebook_size=self.codebook_size,
+                codebook_scale=self.codebook_scale,
+                spherical=self.spherical,
+                entropy_loss_weight=self.entropy_loss_weight,
+                commitment_loss_weight=self.commitment_loss_weight,
+                diversity_gamma=self.diversity_gamma,
+                inv_temperature=self.inv_temperature,
+                pmean_axis=self.pmean_axis,
+                name=f"rvqs_{i}")(chunk, training=training))
+        quantized = jnp.concatenate([o[0] for o in outs], axis=-1)
+        indices = jnp.stack([o[1] for o in outs])
+        aux = jnp.stack([o[2] for o in outs])
+        return quantized, indices, aux
 
 
 def duration_reduction(tokens: np.ndarray) -> tuple[np.ndarray, int]:

@@ -209,16 +209,14 @@ class VoiceConverter:
 
         @partial(jax.jit, static_argnames=("target_len",))
         def regulate_fn(params, s, ylens, target_len, f0=None):
-            out, _ = vc.apply({"params": params}, s, ylens, target_len, f0,
-                              method=vc.regulate)
-            return out
+            return vc.apply({"params": params}, s, ylens, target_len, f0,
+                            method=vc.regulate)[0]
 
         n_mels_ = n_mels
         W = source_window
         cd = self.compute_dtype
 
-        @partial(jax.jit, static_argnames=("prompt_len", "n_steps",
-                                           "cfg_rate"))
+        @partial(jax.jit, static_argnames=("n_steps", "cfg_rate"))
         def sample_vocode_fn(params, voc_params, key, cond_cat, total_len,
                              prompt_mel, prompt_len, style, n_steps,
                              cfg_rate):
@@ -226,7 +224,10 @@ class VoiceConverter:
             program: halves the per-chunk device dispatches (each dispatch
             costs ~10-25 ms through the axon tunnel).  Sampling runs in
             ``compute_dtype`` (params cast once inside the program — XLA
-            hoists the casts out of the scan); the vocoder stays fp32."""
+            hoists the casts out of the scan); the vocoder stays fp32.
+            ``prompt_len`` is a TRACED scalar (``lax.dynamic_slice`` takes
+            traced starts), so every distinct reference length reuses the
+            same compiled program."""
             if cd != jnp.float32:
                 params = jax.tree_util.tree_map(
                     lambda a: a.astype(cd) if a.dtype == jnp.float32 else a,
@@ -468,7 +469,7 @@ class VoiceConverter:
                 wave = np.asarray(self._sample_vocode_fn(
                     self.vc_params, self.vocoder_params, sub,
                     jnp.asarray(cat), jnp.array([p_len + w]),
-                    jnp.asarray(prompt_mel_pad), p_len, style,
+                    jnp.asarray(prompt_mel_pad), jnp.asarray(p_len), style,
                     diffusion_steps, cfg_rate))[0]
             wave = wave[: w * self.hop]
 

@@ -69,7 +69,11 @@ class VoiceConverterV2:
                    "dit", "ar", "vocoder")
 
     def __init__(self, cfg: V2Config = V2Config(), *, params: dict | None = None,
-                 seed: int = 0):
+                 seed: int = 0, cfg_shard_axis: str | None = None):
+        # cfg_shard_axis: mesh axis to split the multi-CFG-stacked sampler
+        # batch over (run convert inside ``jax.set_mesh(mesh)``); None =
+        # single-device sampling.  Mirrors v1 VoiceConverter.
+        self.cfg_shard_axis = cfg_shard_axis
         self.cfg = cfg
         self.mel_fn = MelFrontend(cfg.sr, SpectConfig(n_mels=cfg.n_mels))
         key = jax.random.PRNGKey(seed)
@@ -148,19 +152,19 @@ class VoiceConverterV2:
 
         @partial(jax.jit, static_argnames=("target_len",))
         def cfm_reg_fn(p, tokens, ylens, target_len):
-            out, _ = self.cfm_reg.apply({"params": p}, tokens, ylens, target_len)
-            return out
+            return self.cfm_reg.apply({"params": p}, tokens, ylens,
+                                      target_len)[0]
 
         @partial(jax.jit, static_argnames=("target_len",))
         def ar_reg_fn(p, tokens, ylens, target_len):
-            out, _ = self.ar_reg.apply({"params": p}, tokens, ylens, target_len)
-            return out
+            return self.ar_reg.apply({"params": p}, tokens, ylens,
+                                     target_len)[0]
 
         W = cfg.context_frames - cfg.prompt_cap_frames
         cd = (jnp.bfloat16 if jax.default_backend() == "tpu"
               else jnp.float32)
 
-        @partial(jax.jit, static_argnames=("prompt_len", "n_steps", "r0",
+        @partial(jax.jit, static_argnames=("n_steps", "r0",
                                            "r1", "random_voice"))
         def sample_vocode_fn(p, p_voc, key, cond, total_len, prompt_mel,
                              prompt_len, style, n_steps, r0, r1,
@@ -182,7 +186,7 @@ class VoiceConverterV2:
             mel_out = euler_solve_multicfg(
                 estimate, key, cond, total_len, prompt_mel, prompt_len, style,
                 n_mels=cfg.n_mels, n_timesteps=n_steps, cfg_rates=(r0, r1),
-                random_voice=random_voice)
+                random_voice=random_voice, shard_axis=self.cfg_shard_axis)
             gen = jax.lax.dynamic_slice(
                 mel_out, (0, prompt_len, 0),
                 (1, W, cfg.n_mels)).astype(jnp.float32)
@@ -333,7 +337,8 @@ class VoiceConverterV2:
             key, sub = jax.random.split(key)
             wave = np.asarray(self._sample_vocode_fn(
                 self.p_dit, self.p_vocoder, sub, jnp.asarray(cat),
-                jnp.array([p_len + w]), jnp.asarray(prompt_mel_pad), p_len,
+                jnp.array([p_len + w]), jnp.asarray(prompt_mel_pad),
+                jnp.asarray(p_len),
                 style, diffusion_steps, float(similarity_cfg_rate),
                 float(intelligibility_cfg_rate),
                 bool(anonymization_only)))[0]

@@ -8,7 +8,56 @@ exponential decay (gamma 0.999996) or the v2 warmup->cosine schedule
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
 import optax
+
+
+class LRScaleState(NamedTuple):
+    """Mutable LR multiplier carried in opt_state.
+
+    The reference halves the LR on loss plateaus at runtime
+    (``train.py:1122-1141``).  Under ``jax.jit`` a Python-float multiplier
+    captured in the schedule closure is baked in at trace time, so the
+    halving would be a silent no-op; carrying the scale as an opt_state leaf
+    makes it an ordinary traced input of the compiled step."""
+
+    scale: jax.Array
+
+
+def lr_scale(init: float = 1.0) -> optax.GradientTransformation:
+    """Final-position transform multiplying updates by a runtime scale."""
+
+    def init_fn(params):
+        del params
+        return LRScaleState(jnp.asarray(init, jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        updates = jax.tree_util.tree_map(
+            lambda u: u * state.scale.astype(u.dtype), updates)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def with_lr_scale(opt: optax.GradientTransformation,
+                  init: float = 1.0) -> optax.GradientTransformation:
+    """Chain ``opt`` with a trailing :func:`lr_scale`; use
+    :func:`get_lr_scale` / :func:`set_lr_scale` on the resulting opt_state."""
+    return optax.chain(opt, lr_scale(init))
+
+
+def get_lr_scale(opt_state) -> float:
+    assert isinstance(opt_state[-1], LRScaleState), "not a with_lr_scale state"
+    return float(opt_state[-1].scale)
+
+
+def set_lr_scale(opt_state, value: float):
+    assert isinstance(opt_state[-1], LRScaleState), "not a with_lr_scale state"
+    return opt_state[:-1] + (LRScaleState(jnp.asarray(value, jnp.float32)),)
 
 
 def warmup_cosine(base_lr: float, warmup_steps: int, total_steps: int,

@@ -109,15 +109,20 @@ class Trainer:
 
         schedule = warmup_cosine(tcfg.base_lr, tcfg.warmup_steps,
                                  tcfg.max_steps)
-        self._lr_scale = 1.0  # plateau halving multiplier
-        scaled = lambda step: schedule(step) * self._lr_scale  # noqa: E731
+        # Plateau LR halving (reference train.py:1122-1141): the multiplier
+        # lives IN opt_state (train/optim.py:LRScaleState) so the jitted step
+        # sees every halving — a Python-float closure would be baked in at
+        # trace time and never change.
+        from seedvc_tpu.train.optim import with_lr_scale
+
         if tcfg.optimizer_kind == "multi":
             from seedvc_tpu.train.optim import make_multi_optimizer
 
-            self.optimizer = make_multi_optimizer(scaled,
-                                                  grad_clip=tcfg.grad_clip)
+            base_opt = make_multi_optimizer(schedule,
+                                            grad_clip=tcfg.grad_clip)
         else:
-            self.optimizer = make_optimizer(scaled, grad_clip=tcfg.grad_clip)
+            base_opt = make_optimizer(schedule, grad_clip=tcfg.grad_clip)
+        self.optimizer = with_lr_scale(base_opt)
 
         in_ch = cfg.model_params.length_regulator.in_channels
         example = {
@@ -277,9 +282,29 @@ class Trainer:
         }
 
     # ------------------------------------------------------------------
+    @property
+    def lr_scale(self) -> float:
+        from seedvc_tpu.train.optim import get_lr_scale
+
+        return get_lr_scale(self.state.opt_state)
+
+    def halve_lr(self):
+        """Halve the runtime LR multiplier carried in opt_state (reference
+        plateau halving, ``train.py:1122-1141``)."""
+        from seedvc_tpu.train.optim import set_lr_scale
+
+        scale = self.lr_scale * 0.5
+        self.state = self.state._replace(
+            opt_state=set_lr_scale(self.state.opt_state, scale))
+        print(f"plateau: halving LR (scale {scale})")
+
+    # ------------------------------------------------------------------
     def save(self, step: int):
         if self._ckpt_mgr is None:
             return
+        if self._ckpt_mgr.latest_step() == step:
+            return  # already saved this step (e.g. save_interval hit at
+            # max_steps — Orbax raises StepAlreadyExists on a re-save)
         import orbax.checkpoint as ocp
 
         tree = {
@@ -297,20 +322,54 @@ class Trainer:
             return False
         import orbax.checkpoint as ocp
 
+        latest = self._ckpt_mgr.latest_step()
         template = {
             "params": self.state.params,
             "opt_state": self.state.opt_state,
             "step": self.state.step,
         }
-        if self.state.ema_params is not None:
+        want_ema = self.state.ema_params is not None
+        # Only ask Orbax for 'ema_params' if the checkpoint actually has it:
+        # restoring a pre-EMA checkpoint into an EMA-enabled run must not
+        # fail, and must not silently disable EMA either.
+        has_ema = self._ckpt_has_key(latest, "ema_params")
+        if want_ema and has_ema:
             template["ema_params"] = self.state.ema_params
         restored = self._ckpt_mgr.restore(
-            self._ckpt_mgr.latest_step(),
-            args=ocp.args.PyTreeRestore(template))
+            latest, args=ocp.args.PyTreeRestore(template))
+        ema = restored.get("ema_params")
+        if want_ema and ema is None:
+            # re-seed EMA from the restored params (fresh copy: both trees
+            # are donated by the jitted step)
+            ema = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                         restored["params"])
         self.state = TrainState(restored["params"], restored["opt_state"],
-                                restored["step"],
-                                restored.get("ema_params"))
+                                restored["step"], ema)
         return True
+
+    def _ckpt_has_key(self, step: int, key: str) -> bool:
+        import orbax.checkpoint as ocp
+
+        # read the on-disk pytree metadata directly: a fresh
+        # CheckpointManager (resume path) has no handler registered yet and
+        # its item_metadata() returns None
+        for read in (
+            lambda: ocp.PyTreeCheckpointer().metadata(
+                os.path.join(str(self._ckpt_mgr.directory), str(step),
+                             "default")).item_metadata,
+            lambda: self._ckpt_mgr.item_metadata(step),
+        ):
+            try:
+                tree = read()
+                if hasattr(tree, "tree"):
+                    tree = tree.tree
+                if isinstance(tree, dict):
+                    return key in tree
+            except Exception:
+                continue
+        # metadata unavailable: assume the key matches the current run so
+        # old behaviour (restore what we saved) is preserved
+        return self.state.ema_params is not None
 
     # ------------------------------------------------------------------
     def validate(self, val_dataset: FTDataset) -> float:
@@ -356,9 +415,8 @@ class Trainer:
                     else:
                         self.plateau_count += 1
                         if self.plateau_count >= tb.lr_halve_patience:
-                            self._lr_scale *= 0.5
+                            self.halve_lr()
                             self.plateau_count = 0
-                            print(f"plateau: halving LR (scale {self._lr_scale})")
                 if (val_dataset is not None and tb.validation_interval
                         and step % tb.validation_interval == 0):
                     val_loss = self.validate(val_dataset)

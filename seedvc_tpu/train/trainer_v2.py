@@ -5,6 +5,17 @@ quantizers) and CAMPPlus produce the batch features; the trainable unit is
 {DiTV2, cfm length regulator, AR, ar length regulator}, selected by
 ``train_ar`` / ``train_cfm`` (reference ``train_v2.py:260-271``).  One
 sharded SPMD step over the (data, model) mesh.
+
+Parity with the reference trainer:
+
+- TRUE module freezing: modules outside the ``train_ar``/``train_cfm``
+  selection get ``optax.set_to_zero`` (no AdamW update, no weight decay) —
+  the analogue of ``requires_grad=False`` (``train_v2.py:260-271``),
+- validation loop + patience early stopping (``train_v2.py:551-586``,
+  ``:643-654``),
+- loss-level knowledge distillation vs a frozen teacher:
+  ``0.5*(loss_cfm - teacher_cfm)^2 + 0.3*(loss_ar - teacher_ar)^2`` gated by
+  ``distill_cfm``/``distill_ar`` (``train_v2.py:717-742``).
 """
 
 from __future__ import annotations
@@ -35,7 +46,7 @@ from seedvc_tpu.parallel.mesh import AXES, make_mesh
 from seedvc_tpu.parallel.sharding import logical_to_sharding
 from seedvc_tpu.pipelines.convert_v2 import V2Config
 from seedvc_tpu.train.dataset import Batch
-from seedvc_tpu.train.optim import make_optimizer, warmup_cosine
+from seedvc_tpu.train.optim import warmup_cosine
 
 
 @dataclass
@@ -48,12 +59,17 @@ class TrainerV2Config:
     grad_clip: float = 1000.0  # reference train_v2.py:747
     train_ar: bool = True
     train_cfm: bool = True
+    distill_ar: bool = False    # loss-level KD weights (train_v2.py:735-742)
+    distill_cfm: bool = False
     mel_bucket: int = 128
     token_bucket: int = 64
     seed: int = 1234
     run_dir: str | None = None   # enables Orbax checkpointing when set
     save_interval: int = 500
     log_interval: int = 10
+    validation_interval: int = 0  # steps between validate() (0 = off)
+    val_batches: int = 4          # batches averaged per validation
+    early_stop_patience: int = 10  # validations w/o improvement -> stop
 
 
 class V2TrainState(NamedTuple):
@@ -64,9 +80,11 @@ class V2TrainState(NamedTuple):
 
 class TrainerV2:
     def __init__(self, vcfg: V2Config, tcfg: TrainerV2Config, *,
-                 frozen_params: dict | None = None, n_model: int = 1):
+                 frozen_params: dict | None = None, n_model: int = 1,
+                 teacher_params: dict | None = None):
         self.vcfg = vcfg
         self.tcfg = tcfg
+        self.teacher_params = teacher_params
         self.mel_fn = MelFrontend(vcfg.sr, SpectConfig(n_mels=vcfg.n_mels))
         key = jax.random.PRNGKey(tcfg.seed)
         ks = jax.random.split(key, 10)
@@ -121,7 +139,24 @@ class TrainerV2:
         self.mesh = make_mesh(n_data=n_data, n_model=n_model)
 
         schedule = warmup_cosine(tcfg.base_lr, tcfg.warmup_steps, tcfg.max_steps)
-        self.optimizer = make_optimizer(schedule, grad_clip=tcfg.grad_clip)
+        # TRUE freezing (reference requires_grad=False, train_v2.py:260-271):
+        # frozen branches get set_to_zero — no update, no weight decay, no
+        # AdamW moments.  The clip stays GLOBAL at 1000 like the reference
+        # clip_grad_norm_(model.parameters()) (train_v2.py:749-751); frozen
+        # modules contribute zero grads to the norm.
+        adamw = optax.adamw(schedule, b1=0.9, b2=0.98, eps=1e-6,
+                            weight_decay=0.01)
+        transforms = {
+            "cfm": adamw if tcfg.train_cfm else optax.set_to_zero(),
+            "ar": adamw if tcfg.train_ar else optax.set_to_zero(),
+        }
+        module_labels = {"dit": "cfm", "cfm_reg": "cfm",
+                         "ar": "ar", "ar_reg": "ar"}
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(tcfg.grad_clip),
+            optax.multi_transform(
+                transforms, lambda params: {k: module_labels[k]
+                                            for k in params}))
         state = V2TrainState(params, self.optimizer.init(params),
                              jnp.zeros((), jnp.int32))
         self.state = V2TrainState(
@@ -139,6 +174,10 @@ class TrainerV2:
             lambda p, f: self.campplus.apply({"params": p}, f))
         self._step = jax.jit(self._step_impl, donate_argnums=(0,),
                              static_argnames=("mel_T", "ar_C", "ar_X", "tok_T"))
+        self._val_step = jax.jit(
+            self._val_impl, static_argnames=("mel_T", "ar_C", "ar_X", "tok_T"))
+        self.best_val_loss = float("inf")
+        self.patience_counter = 0
 
         self._ckpt_mgr = None
         if tcfg.run_dir is not None:
@@ -151,46 +190,74 @@ class TrainerV2:
                 options=ocp.CheckpointManagerOptions(max_to_keep=2))
 
     # ------------------------------------------------------------------
-    def _step_impl(self, state: V2TrainState, batch: dict, rng,
+    def _losses(self, params, batch: dict, rng, *, mel_T: int, ar_C: int,
+                ar_X: int, forward_cfm: bool, forward_ar: bool):
+        """Joint loss (reference model forward, ``train_v2.py:706-720``):
+        loss_ar + loss_cfm over the selected branches."""
+        keys = jax.random.split(rng, 6)
+        total = jnp.zeros((), jnp.float32)
+        metrics = {}
+        if forward_cfm:
+            cond = self.cfm_reg.apply(
+                {"params": params["cfm_reg"]}, batch["wide_idx"],
+                batch["mel_lens"], mel_T)[0]
+            B = batch["mels"].shape[0]
+            frac = jax.random.uniform(keys[0], (B,))
+            prompt_lens = (frac * 0.5 * batch["mel_lens"]).astype(jnp.int32)
+            # whole-batch CFG dropout like the reference (:115-120)
+            pd = jax.random.bernoulli(keys[1], self.vcfg.dit.class_dropout_prob)
+            cdrop = jax.random.bernoulli(keys[2], 0.5) & pd
+            pdv = jnp.full((B,), pd, jnp.float32)
+            cdv = jnp.full((B,), cdrop, jnp.float32)
+
+            def estimate(x, px, l, t, s, m):
+                return self.dit.apply({"params": params["dit"]}, x, px, l,
+                                      t, s, m, prompt_drop=pdv,
+                                      content_drop=cdv)
+
+            loss_cfm = cfm_v2_loss(
+                estimate, batch["mels"], batch["mel_lens"], prompt_lens,
+                cond, batch["style"], rng_t=keys[3], rng_noise=keys[4])
+            total = total + loss_cfm
+            metrics["loss_cfm"] = loss_cfm
+        if forward_ar:
+            cond_emb = self.ar_reg.apply(
+                {"params": params["ar_reg"]}, batch["ar_cond_idx"],
+                batch["ar_cond_lens"], ar_C)[0]
+            loss_ar = ar_loss(self.ar, {"params": params["ar"]}, cond_emb,
+                              batch["ar_cond_lens"], batch["wide_idx"][:, :ar_X],
+                              jnp.minimum(batch["token_lens"], ar_X))
+            total = total + loss_ar
+            metrics["loss_ar"] = loss_ar
+        return total, metrics
+
+    def _step_impl(self, state: V2TrainState, batch: dict, rng, teacher,
                    *, mel_T: int, ar_C: int, ar_X: int, tok_T: int):
         tcfg = self.tcfg
 
         def loss_fn(params):
-            keys = jax.random.split(rng, 6)
-            total = jnp.zeros((), jnp.float32)
-            metrics = {}
-            if tcfg.train_cfm:
-                cond, _ = self.cfm_reg.apply(
-                    {"params": params["cfm_reg"]}, batch["wide_idx"],
-                    batch["mel_lens"], mel_T)
-                B = batch["mels"].shape[0]
-                frac = jax.random.uniform(keys[0], (B,))
-                prompt_lens = (frac * 0.5 * batch["mel_lens"]).astype(jnp.int32)
-                # whole-batch CFG dropout like the reference (:115-120)
-                pd = jax.random.bernoulli(keys[1], self.vcfg.dit.class_dropout_prob)
-                cdrop = jax.random.bernoulli(keys[2], 0.5) & pd
-                pdv = jnp.full((B,), pd, jnp.float32)
-                cdv = jnp.full((B,), cdrop, jnp.float32)
-
-                def estimate(x, px, l, t, s, m):
-                    return self.dit.apply({"params": params["dit"]}, x, px, l,
-                                          t, s, m, prompt_drop=pdv,
-                                          content_drop=cdv)
-
-                loss_cfm = cfm_v2_loss(
-                    estimate, batch["mels"], batch["mel_lens"], prompt_lens,
-                    cond, batch["style"], rng_t=keys[3], rng_noise=keys[4])
-                total = total + loss_cfm
-                metrics["loss_cfm"] = loss_cfm
-            if tcfg.train_ar:
-                cond_emb, _ = self.ar_reg.apply(
-                    {"params": params["ar_reg"]}, batch["ar_cond_idx"],
-                    batch["ar_cond_lens"], ar_C)
-                loss_ar = ar_loss(self.ar, {"params": params["ar"]}, cond_emb,
-                                  batch["ar_cond_lens"], batch["wide_idx"][:, :ar_X],
-                                  jnp.minimum(batch["token_lens"], ar_X))
-                total = total + loss_ar
-                metrics["loss_ar"] = loss_ar
+            total, metrics = self._losses(
+                params, batch, rng, mel_T=mel_T, ar_C=ar_C, ar_X=ar_X,
+                forward_cfm=tcfg.train_cfm, forward_ar=tcfg.train_ar)
+            if teacher is not None:
+                # Loss-level KD (reference train_v2.py:717-742): MSE between
+                # the student's and the frozen teacher's scalar losses,
+                # 0.5 weight on CFM, 0.3 on AR.  Same rng -> same t/noise
+                # draws for both, so the comparison is apples-to-apples.
+                _, t_metrics = self._losses(
+                    params=teacher, batch=batch, rng=rng, mel_T=mel_T,
+                    ar_C=ar_C, ar_X=ar_X,
+                    forward_cfm=tcfg.train_cfm and tcfg.distill_cfm,
+                    forward_ar=tcfg.train_ar and tcfg.distill_ar)
+                distill = jnp.zeros((), jnp.float32)
+                if tcfg.train_cfm and tcfg.distill_cfm:
+                    t_cfm = jax.lax.stop_gradient(t_metrics["loss_cfm"])
+                    distill = distill + 0.5 * (metrics["loss_cfm"] - t_cfm) ** 2
+                if tcfg.train_ar and tcfg.distill_ar:
+                    t_ar = jax.lax.stop_gradient(t_metrics["loss_ar"])
+                    distill = distill + 0.3 * (metrics["loss_ar"] - t_ar) ** 2
+                metrics["loss_distill"] = distill
+                total = total + distill
             return total, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -201,6 +268,15 @@ class TrainerV2:
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
         return V2TrainState(new_params, new_opt, state.step + 1), metrics
+
+    def _val_impl(self, params, batch: dict, rng, *, mel_T: int, ar_C: int,
+                  ar_X: int, tok_T: int):
+        """Validation loss (reference ``validate_one_step``,
+        ``train_v2.py:561-586``): same forward selection, no grads/KD."""
+        total, _ = self._losses(
+            params, batch, rng, mel_T=mel_T, ar_C=ar_C, ar_X=ar_X,
+            forward_cfm=self.tcfg.train_cfm, forward_ar=self.tcfg.train_ar)
+        return total
 
     # ------------------------------------------------------------------
     def prepare_batch(self, batch: Batch) -> tuple[dict, dict]:
@@ -264,15 +340,33 @@ class TrainerV2:
                 "tok_T": tok_T}
         return feats_dict, dims
 
-    def train_step(self, batch: Batch, rng) -> dict:
-        feats, dims = self.prepare_batch(batch)
+    def _shard_feats(self, feats: dict) -> dict:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        feats = {k: jax.device_put(v, NamedSharding(
+        return {k: jax.device_put(v, NamedSharding(
             self.mesh, P(AXES.data, *([None] * (v.ndim - 1)))))
             for k, v in feats.items()}
-        self.state, metrics = self._step(self.state, feats, rng, **dims)
+
+    def train_step(self, batch: Batch, rng) -> dict:
+        feats, dims = self.prepare_batch(batch)
+        self.state, metrics = self._step(self.state, self._shard_feats(feats),
+                                         rng, self.teacher_params, **dims)
         return {k: float(v) for k, v in metrics.items()}
+
+    def validate(self, val_dataset) -> float:
+        """Mean joint loss over validation batches (reference ``validate()``,
+        ``train_v2.py:574-596``)."""
+        tcfg = self.tcfg
+        losses = []
+        for i, batch in enumerate(val_dataset.batches(shuffle=False,
+                                                      epoch=0)):
+            if i >= tcfg.val_batches:
+                break
+            feats, dims = self.prepare_batch(batch)
+            losses.append(float(self._val_step(
+                self.state.params, self._shard_feats(feats),
+                jax.random.PRNGKey(tcfg.seed + i), **dims)))
+        return float(np.mean(losses)) if losses else float("nan")
 
     # ------------------------------------------------------------------
     def save(self, step: int):
@@ -282,6 +376,9 @@ class TrainerV2:
         cfm_reg} carry the same separation)."""
         if self._ckpt_mgr is None:
             return
+        if self._ckpt_mgr.latest_step() == step:
+            return  # already saved (save_interval hit at max_steps would
+            # otherwise raise Orbax StepAlreadyExists)
         import orbax.checkpoint as ocp
 
         self._ckpt_mgr.save(
@@ -310,9 +407,10 @@ class TrainerV2:
         return True
 
     # ------------------------------------------------------------------
-    def train(self, dataset) -> int:
-        """Epoch loop with periodic logging + checkpointing
-        (reference ``train_v2.py:597-900``)."""
+    def train(self, dataset, val_dataset=None) -> int:
+        """Epoch loop with periodic logging, checkpointing, validation and
+        patience early stopping (reference ``train_v2.py:597-900``,
+        validation/early-stop at ``:643-654``)."""
         import time
 
         tcfg = self.tcfg
@@ -331,6 +429,24 @@ class TrainerV2:
                     print(f"step {step} {parts} "
                           f"({(time.time() - t0) / (step - start_step):.2f}"
                           f"s/step)")
+                if (val_dataset is not None and tcfg.validation_interval
+                        and step % tcfg.validation_interval == 0):
+                    val_loss = self.validate(val_dataset)
+                    if val_loss < self.best_val_loss:
+                        self.best_val_loss = val_loss
+                        self.patience_counter = 0
+                        print(f"step {step} val_loss {val_loss:.4f} "
+                              f"(improved)")
+                    else:
+                        self.patience_counter += 1
+                        print(f"step {step} val_loss {val_loss:.4f} "
+                              f"(no improvement, patience "
+                              f"{self.patience_counter}/"
+                              f"{tcfg.early_stop_patience})")
+                        if self.patience_counter >= tcfg.early_stop_patience:
+                            print("early stop: validation plateau")
+                            self.save(step)
+                            return step
                 if step % tcfg.save_interval == 0:
                     self.save(step)
                 if step >= tcfg.max_steps:

@@ -212,6 +212,12 @@ class FakeConverter:
         FakeConverter.calls.append(kw)
         return src_sr, 0.5 * src, {"rtf": 0.123}
 
+    def convert_with_streaming(self, src, src_sr, ref, ref_sr, **kw):
+        FakeConverter.calls.append(kw)
+        n = len(src) // 3
+        for i in range(3):
+            yield src_sr, 0.5 * src[i * n: (i + 1) * n], {"rtf": 0.1}
+
 
 @pytest.fixture()
 def webui_server():
@@ -302,3 +308,112 @@ def test_f0_metrics():
     assert f0_metrics(a, b)["f0_corr"] > 0.999
     # all-unvoiced -> NaN, no crash
     assert np.isnan(f0_metrics(np.zeros(5), np.zeros(5))["f0_corr"])
+
+
+def test_p808_melspec_matches_torch_stft():
+    """The P.808 DNSMOS mel frontend (numpy) matches a torch.stft reference
+    with torchaudio's exact settings (n_fft=321, hop=160, center/reflect,
+    slaney mel scale without norm, power_to_db ref=max, +40/40)."""
+    import numpy as np
+    import torch
+
+    from seedvc_tpu.apps.metrics import p808_melspec
+    from seedvc_tpu.dsp.mel import mel_filterbank
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+
+    spec = torch.stft(
+        torch.from_numpy(audio), n_fft=321, hop_length=160, win_length=321,
+        window=torch.hann_window(321, periodic=True), center=True,
+        pad_mode="reflect", return_complex=True)
+    power = (spec.abs() ** 2).numpy()  # (161, T)
+    fb = mel_filterbank(16000, 321, 120, fmin=0.0, fmax=8000.0, norm=None)
+    mel = (fb @ power).T  # (T, 120)
+    db = 10 * np.log10(np.maximum(mel, 1e-10))
+    db = db - 10 * np.log10(np.maximum(mel.max(), 1e-10))
+    db = np.maximum(db, db.max() - 80.0)
+    ref = (db + 40.0) / 40.0
+
+    ours = p808_melspec(audio)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_builtin_presets_include_cantonese():
+    """All 5 reference YAML presets have built-in equivalents
+    (configs/presets/config_cantonese*.yml differ only in the whisper name)."""
+    from seedvc_tpu.core.config import get_preset
+
+    cfg = get_preset("cantonese_whisper_small_wavenet")
+    base = get_preset("whisper_small_wavenet")
+    assert (cfg.model_params.speech_tokenizer.name
+            == "alvanlii/whisper-small-cantonese")
+    assert cfg.model_params.DiT == base.model_params.DiT
+
+    cfg44 = get_preset("cantonese_whisper_base_f0_44k")
+    assert cfg44.preprocess_params.sr == 44100
+    assert (cfg44.model_params.speech_tokenizer.name
+            == "alvanlii/whisper-small-cantonese")
+
+
+def test_cosyvoice_baseline_gated():
+    """Without a ../CosyVoice checkout the adapter raises a clear error
+    (reference baselines/cosyvoice.py:5-13 sibling-checkout pattern)."""
+    import pytest
+
+    from seedvc_tpu.apps.baselines import get_baseline
+
+    with pytest.raises(RuntimeError, match="CosyVoice"):
+        get_baseline("cosyvoice", repo_dir="/nonexistent/CosyVoice")
+
+
+def test_webui_examples_rows(webui_server):
+    """Example rows (reference app.py:158-165): listed via /api/examples and
+    each URL serves a readable wav."""
+    rows = json.loads(
+        urllib.request.urlopen(webui_server + "/api/examples").read())
+    assert len(rows) >= 2
+    slots = {r["slot"] for r in rows}
+    assert slots == {"source", "target"}
+    from scipy.io import wavfile
+
+    data = urllib.request.urlopen(webui_server + rows[0]["url"]).read()
+    sr, wave = wavfile.read(io.BytesIO(data))
+    assert sr == 22050 and len(wave) > 1000
+
+
+def test_webui_convert_stream_chunked(webui_server):
+    """/api/convert_stream sends chunked transfer-encoding with one chunk
+    per pipeline piece (reference app.py:167-169 streaming): at least 2
+    audio chunks must arrive before EOF, and the reassembled stream is a
+    playable wav header + PCM."""
+    import http.client
+    from urllib.parse import urlparse
+
+    body, ctype = _multipart({
+        "mode": "vc",
+        "diffusion_steps": 5,
+        "source": ("s.wav", _wav_bytes(n=9000)),
+        "target": ("r.wav", _wav_bytes()),
+    })
+    u = urlparse(webui_server)
+    conn = http.client.HTTPConnection(u.hostname, u.port)
+    conn.request("POST", "/api/convert_stream", body=body,
+                 headers={"Content-Type": ctype})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.headers.get("Transfer-Encoding") == "chunked"
+    assert resp.headers.get("Content-Type") == "audio/wav"
+    # http.client decodes chunking; read incrementally to observe >=2 reads
+    pieces = []
+    while True:
+        chunk = resp.read(4096)
+        if not chunk:
+            break
+        pieces.append(chunk)
+    data = b"".join(pieces)
+    conn.close()
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    # header chunk + 3 generator pieces of 3000 samples each
+    assert len(data) == 44 + 2 * 9000

@@ -123,7 +123,7 @@ def test_regulator_conversion_parity():
         ref, *_ = tm(torch.from_numpy(x), ylens=torch.LongTensor([20]))
 
     model = InterpolateRegulator(lr_cfg)
-    ours, _ = model.apply({"params": params}, jnp.asarray(x),
-                          jnp.array([20]), 20)
+    ours = model.apply({"params": params}, jnp.asarray(x),
+                       jnp.array([20]), 20)[0]
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=2e-5,
                                rtol=1e-3)

@@ -187,12 +187,13 @@ def test_regulator_shapes_and_interp():
     ylens = jnp.array([20, 15])
     f0 = jnp.full((B, T_in), 220.0)
     variables = reg.init(jax.random.PRNGKey(0), x, ylens, T_out, f0)
-    out, olens = reg.apply(variables, x, ylens, T_out, f0)
+    out, olens, codes, commit, cb = reg.apply(variables, x, ylens, T_out, f0)
     assert out.shape == (B, T_out, 32)
+    assert codes is None and commit is None and cb is None
     # masked beyond ylens
     assert np.abs(np.asarray(out)[1, 15:]).max() == 0.0
     # f0=None path uses the learned mask token
-    out2, _ = reg.apply(variables, x, ylens, T_out, None)
+    out2 = reg.apply(variables, x, ylens, T_out, None)[0]
     assert out2.shape == (B, T_out, 32)
 
 
@@ -215,13 +216,13 @@ def test_regulator_quantizer_dropout_gates_codebooks():
     ylens = jnp.array([10, 8])
     params = reg.init(jax.random.PRNGKey(0), x, ylens, 12)["params"]
 
-    out_full, _ = reg.apply({"params": params}, x, ylens, 12)
-    out_one, _ = reg.apply({"params": params}, x, ylens, 12,
-                           n_quantizers=jnp.array([1, 1]))
-    out_one2, _ = reg.apply(
+    out_full = reg.apply({"params": params}, x, ylens, 12)[0]
+    out_one = reg.apply({"params": params}, x, ylens, 12,
+                        n_quantizers=jnp.array([1, 1]))[0]
+    out_one2 = reg.apply(
         {"params": params},
         x.at[:, 1:].set(jnp.zeros_like(x[:, 1:])), ylens, 12,
-        n_quantizers=jnp.array([1, 1]))
+        n_quantizers=jnp.array([1, 1]))[0]
     assert not np.allclose(np.asarray(out_full), np.asarray(out_one))
     # with one active codebook the extra token values are irrelevant
     np.testing.assert_allclose(np.asarray(out_one), np.asarray(out_one2),

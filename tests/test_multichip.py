@@ -106,3 +106,42 @@ def test_cfg_branch_sharded_sampler_matches_unsharded():
     with jax.set_mesh(mesh):
         sharded = np.asarray(jax.jit(lambda: run("data"))())
     np.testing.assert_allclose(base, sharded, atol=2e-5)
+
+
+def test_v2_multicfg_sharded_sampler_matches_unsharded():
+    """euler_solve_multicfg(shard_axis='cfg') splits the 3-way CFG stack
+    [full / text-only / unconditional] across the mesh and matches the
+    single-device run (SURVEY §2.10; mirrors v1 euler_solve sharding)."""
+    from seedvc_tpu.models.cfm_v2 import euler_solve_multicfg
+    from seedvc_tpu.models.dit_v2 import DiTV2, DiTV2Config
+
+    cfg = DiTV2Config(hidden_dim=32, depth=2, num_heads=4, in_channels=16,
+                      content_dim=32, style_encoder_dim=24)
+    dit = DiTV2(cfg)
+    B, T, C, D = 1, 24, 16, 32
+    key = jax.random.PRNGKey(0)
+    mu = jax.random.normal(key, (B, T, D))
+    lens = jnp.full((B,), T, jnp.int32)
+    prompt = jnp.zeros((B, T, C))
+    style = jax.random.normal(key, (B, 24))
+    variables = dit.init(key, jnp.zeros((B, T, C)), prompt, lens,
+                         jnp.zeros((B,)), style, mu)
+
+    def estimate(x, p, l, t, s, m):
+        return dit.apply(variables, x, p, l, t, s, m)
+
+    def run(shard_axis):
+        # both rates nonzero -> the full 3-way MegaTTS3 stack
+        return euler_solve_multicfg(estimate, key, mu, lens, prompt, 4,
+                                    style, n_mels=C, n_timesteps=3,
+                                    cfg_rates=(0.6, 0.4),
+                                    shard_axis=shard_axis)
+
+    base = np.asarray(jax.jit(lambda: run(None))())
+
+    # 3 CFG branches: shard over an axis the stack divides into is not
+    # required — XLA pads uneven shards; use the data axis like v1.
+    mesh = make_mesh(n_data=2, n_model=4)
+    with jax.set_mesh(mesh):
+        sharded = np.asarray(jax.jit(lambda: run("data"))())
+    np.testing.assert_allclose(base, sharded, atol=2e-5)

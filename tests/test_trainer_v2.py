@@ -99,3 +99,118 @@ def test_trainer_v2_checkpoint_roundtrip(tmp_path):
     # training resumes from restored state
     m = trainer2.train_step(batch, jax.random.PRNGKey(2))
     assert np.isfinite(m["loss"]) and int(trainer2.state.step) == 2
+
+
+def _mk_batch(B=2, T=33000, seed=0):
+    rng = np.random.default_rng(seed)
+    waves = (rng.standard_normal((B, T)) * 0.1).astype(np.float32)
+    return Batch(waves, waves[:, :24000], np.array([T, T - 4000], np.int32),
+                 np.array([24000, 21000], np.int32))
+
+
+@pytest.mark.slow
+def test_trainer_v2_true_freezing():
+    """train_ar=False must leave AR params BIT-IDENTICAL (no update, no
+    weight decay) — the reference sets requires_grad=False
+    (train_v2.py:260-271); plain AdamW would still decay them."""
+    trainer = TrainerV2(tiny_v2cfg(),
+                        TrainerV2Config(batch_size=2, mel_bucket=64,
+                                        token_bucket=32, train_ar=False),
+                        n_model=4)
+    ar0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(),
+                                 trainer.state.params["ar"])
+    arreg0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(),
+                                    trainer.state.params["ar_reg"])
+    dit0 = np.asarray(
+        jax.tree_util.tree_leaves(trainer.state.params["dit"])[0]).copy()
+    batch = _mk_batch()
+    for i in range(2):
+        m = trainer.train_step(batch, jax.random.PRNGKey(i))
+        assert "loss_ar" not in m and "loss_cfm" in m
+    for before, after in zip(
+            jax.tree_util.tree_leaves(ar0) + jax.tree_util.tree_leaves(arreg0),
+            jax.tree_util.tree_leaves(trainer.state.params["ar"])
+            + jax.tree_util.tree_leaves(trainer.state.params["ar_reg"])):
+        np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+    # trained module moved
+    dit1 = np.asarray(jax.tree_util.tree_leaves(trainer.state.params["dit"])[0])
+    assert not np.array_equal(dit0, dit1)
+
+
+@pytest.mark.slow
+def test_trainer_v2_validate_and_early_stop(tmp_path):
+    """validate() + patience early stop (reference train_v2.py:551-586,
+    :643-654)."""
+    import os
+
+    from seedvc_tpu.apps.audio_io import save_wav
+    from seedvc_tpu.train.dataset import FTDataset
+
+    d = tmp_path / "wavs"
+    os.makedirs(d)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        save_wav(str(d / f"a{i}.wav"),
+                 (rng.standard_normal(33000 + 1000 * i) * 0.1).astype(np.float32),
+                 22050)
+    ds = FTDataset(str(d), 22050, batch_size=2)
+
+    tcfg = TrainerV2Config(batch_size=2, mel_bucket=64, token_bucket=32,
+                           max_steps=100, epochs=50, log_interval=100,
+                           save_interval=1000, validation_interval=1,
+                           val_batches=1, early_stop_patience=2)
+    trainer = TrainerV2(tiny_v2cfg(), tcfg, n_model=4)
+    val = trainer.validate(ds)
+    assert np.isfinite(val)
+    assert trainer.validate(ds) == val  # deterministic
+
+    trainer.best_val_loss = -1e9  # force permanent plateau
+    final = trainer.train(ds, val_dataset=ds)
+    assert final == 2
+    assert trainer.patience_counter == 2
+
+
+@pytest.mark.slow
+def test_trainer_v2_distillation():
+    """Loss-level KD (train_v2.py:717-742): 0.5*(cfm-t_cfm)^2 +
+    0.3*(ar-t_ar)^2 added to the loss when distill flags are on."""
+    base = TrainerV2(tiny_v2cfg(),
+                     TrainerV2Config(batch_size=2, mel_bucket=64,
+                                     token_bucket=32),
+                     n_model=4)
+    teacher = jax.tree_util.tree_map(lambda x: x, base.state.params)
+
+    trainer = TrainerV2(tiny_v2cfg(),
+                        TrainerV2Config(batch_size=2, mel_bucket=64,
+                                        token_bucket=32, distill_ar=True,
+                                        distill_cfm=True, seed=999),
+                        n_model=4, teacher_params=teacher)
+    batch = _mk_batch()
+    m = trainer.train_step(batch, jax.random.PRNGKey(1))
+    assert "loss_distill" in m and np.isfinite(m["loss_distill"])
+    assert m["loss_distill"] >= 0
+    np.testing.assert_allclose(
+        m["loss"], m["loss_cfm"] + m["loss_ar"] + m["loss_distill"],
+        rtol=1e-5)
+
+    # teacher == student params + same rng -> zero distill loss
+    t2 = TrainerV2(tiny_v2cfg(),
+                   TrainerV2Config(batch_size=2, mel_bucket=64,
+                                   token_bucket=32, distill_ar=True,
+                                   distill_cfm=True),
+                   n_model=4)
+    t2.teacher_params = jax.tree_util.tree_map(
+        lambda x: jnp.array(x, copy=True), t2.state.params)
+    m2 = t2.train_step(batch, jax.random.PRNGKey(1))
+    assert m2["loss_distill"] < 1e-9
+
+
+def test_trainer_v2_save_dedupe(tmp_path):
+    trainer = TrainerV2(tiny_v2cfg(),
+                        TrainerV2Config(batch_size=2, mel_bucket=64,
+                                        token_bucket=32,
+                                        run_dir=str(tmp_path / "run")),
+                        n_model=4)
+    trainer.save(1)
+    trainer.save(1)  # must be a silent no-op, not StepAlreadyExists
+    assert trainer._ckpt_mgr.latest_step() == 1

@@ -156,3 +156,42 @@ def test_ar_generate_runs():
     assert 1 <= n <= 16
     toks = np.asarray(tokens)[:n]
     assert (toks >= 0).all() and (toks < 33).all()
+
+
+def test_bsq_commitment_loss_and_grouped_residual():
+    """BSQ commitment loss (reference bsq.py:448-457, weight bsq.py:487) and
+    GroupedResidualBSQ (bsq.py:497-569): grouped splitting, stacked indices,
+    per-group aux losses."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seedvc_tpu.nn.bsq import BSQ, GroupedResidualBSQ
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 6, 16)),
+                    jnp.float32)
+
+    # commitment weight adds a nonnegative term beyond the entropy aux
+    b0 = BSQ(dim=16, codebook_size=16, commitment_loss_weight=0.0)
+    p0 = b0.init(jax.random.PRNGKey(0), x, training=True)
+    _, _, aux0 = b0.apply(p0, x, training=True)
+    b1 = BSQ(dim=16, codebook_size=16, commitment_loss_weight=0.25)
+    _, _, aux1 = b1.apply(p0, x, training=True)  # same params
+    assert float(aux1) > float(aux0)
+    # commitment gradient flows to project_in
+    g = jax.grad(lambda p: b1.apply({"params": p}, x,
+                                    training=True)[2])(p0["params"])
+    assert float(jnp.abs(g["project_in"]["kernel"]).sum()) > 0
+
+    gq = GroupedResidualBSQ(dim=16, groups=4, codebook_size=16)
+    pg = gq.init(jax.random.PRNGKey(1), x, training=True)
+    out, idx, aux = gq.apply(pg, x, training=True)
+    assert out.shape == (2, 6, 16)
+    assert idx.shape == (4, 2, 6)
+    assert aux.shape == (4,)
+    assert (np.asarray(idx) >= 0).all() and (np.asarray(idx) < 16).all()
+    # groups are independent: changing group 3's input leaves groups 0-2
+    x2 = x.at[..., 12:].set(0.0)
+    _, idx2, _ = gq.apply(pg, x2, training=True)
+    np.testing.assert_array_equal(np.asarray(idx[:3]), np.asarray(idx2[:3]))
+    assert not np.array_equal(np.asarray(idx[3]), np.asarray(idx2[3]))
