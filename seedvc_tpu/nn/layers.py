@@ -62,6 +62,23 @@ def rope_cache(seq_len: int, head_dim: int, base: float = 10000.0) -> np.ndarray
     return np.stack([np.cos(ang), np.sin(ang)], axis=-1).astype(np.float32)
 
 
+def rope_full_cache(seq_len: int, head_dim: int,
+                    base: float = 10000.0) -> tuple[np.ndarray, np.ndarray]:
+    """(T, head_dim) cos/sin caches for in-kernel RoPE.
+
+    cos_full[:, 2i] = cos_full[:, 2i+1] = cos(t*f_i); sin_signed[:, 2i] =
+    -sin(t*f_i), sin_signed[:, 2i+1] = +sin(t*f_i) — so that
+    ``x*cos_full + pair_swap(x)*sin_signed`` equals interleaved-pair RoPE
+    (see ``ops/pallas/attention.py::_rope``).
+    """
+    freqs = 1.0 / (base ** (np.arange(0, head_dim, 2)[: head_dim // 2] / head_dim))
+    ang = np.outer(np.arange(seq_len), freqs)  # (T, d/2)
+    cos_full = np.repeat(np.cos(ang), 2, axis=1)
+    sin_signed = np.repeat(np.sin(ang), 2, axis=1)
+    sin_signed[:, 0::2] *= -1.0
+    return cos_full.astype(np.float32), sin_signed.astype(np.float32)
+
+
 def apply_rope(x: jax.Array, freqs: jax.Array) -> jax.Array:
     """Rotate interleaved pairs. x: (B, T, H, D); freqs: (T, D//2, 2).
 
@@ -106,6 +123,7 @@ class Attention(nn.Module):
         x: jax.Array,
         freqs: jax.Array,
         mask: Optional[jax.Array],
+        rope_full: Optional[tuple[jax.Array, jax.Array]] = None,
     ) -> jax.Array:
         n_kv = self.n_local_heads or self.n_head
         hd = self.head_dim or self.dim // self.n_head
@@ -115,6 +133,28 @@ class Attention(nn.Module):
                        name="wqkv", dtype=x.dtype)(x)
         q, k, v = jnp.split(
             qkv, [self.n_head * hd, self.n_head * hd + n_kv * hd], axis=-1)
+
+        if (self.use_flash and T % 512 == 0 and n_kv == self.n_head
+                and rope_full is not None
+                and jax.default_backend() == "tpu"
+                and self.flash_impl == "seedvc"):
+            # Fused path: RoPE applied in-kernel in fp32 — the out-of-kernel
+            # fp32 stack/reshape RoPE relayouts never touch HBM.
+            from seedvc_tpu.ops.pallas.attention import dit_attention_fused
+
+            lens = (jnp.sum(mask[:, 0, -1, :].astype(jnp.int32), axis=-1)
+                    if mask is not None else None)
+            bq = self.flash_block_q if T % self.flash_block_q == 0 else 512
+            cos, sin = rope_full
+            out = dit_attention_fused(
+                q.reshape(B, T, self.n_head, hd).transpose(0, 2, 1, 3),
+                k.reshape(B, T, self.n_head, hd).transpose(0, 2, 1, 3),
+                v.reshape(B, T, self.n_head, hd).transpose(0, 2, 1, 3),
+                cos, sin, lens, block_q=bq)
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, self.n_head * hd)
+            return nn.Dense(self.dim, use_bias=False, name="wo",
+                            dtype=x.dtype)(out)
+
         q = q.reshape(B, T, self.n_head, hd)
         k = k.reshape(B, T, n_kv, hd)
         v = v.reshape(B, T, n_kv, hd)

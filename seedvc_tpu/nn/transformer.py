@@ -28,6 +28,7 @@ from seedvc_tpu.nn.layers import (
     apply_rope,
     ffn_intermediate_size,
     rope_cache,
+    rope_full_cache,
 )
 
 
@@ -59,6 +60,7 @@ class TransformerBlock(nn.Module):
         freqs: jax.Array,
         mask: Optional[jax.Array],
         skip_in: Optional[jax.Array] = None,
+        rope_full: Optional[tuple[jax.Array, jax.Array]] = None,
     ) -> jax.Array:
         cfg = self.cfg
         if self.receives_skip and skip_in is not None:
@@ -69,7 +71,7 @@ class TransformerBlock(nn.Module):
             use_flash=cfg.use_flash, flash_block_q=cfg.flash_block_q,
             flash_block_k=cfg.flash_block_k, name="attention",
         )(AdaptiveRMSNorm(cfg.dim, cfg.norm_eps, name="attention_norm")(x, c),
-          freqs, mask)
+          freqs, mask, rope_full=rope_full)
         out = h + FeedForward(
             cfg.dim, ffn_intermediate_size(cfg.dim), name="feed_forward",
         )(AdaptiveRMSNorm(cfg.dim, cfg.norm_eps, name="ffn_norm")(h, c))
@@ -92,6 +94,10 @@ class Transformer(nn.Module):
         T = x.shape[1]
         head_dim = cfg.head_dim or cfg.dim // cfg.n_head
         freqs = jnp.asarray(rope_cache(T, head_dim, cfg.rope_base))
+        rope_full = None
+        if cfg.use_flash and (cfg.n_local_heads or cfg.n_head) == cfg.n_head:
+            cos, sin = rope_full_cache(T, head_dim, cfg.rope_base)
+            rope_full = (jnp.asarray(cos), jnp.asarray(sin))
 
         c_in = None if cfg.time_as_token else c
 
@@ -106,7 +112,8 @@ class Transformer(nn.Module):
         for i in range(cfg.n_layer):
             skip_in = skips.pop() if i in recv and skips else None
             x = TransformerBlock(cfg, receives_skip=(i in recv),
-                                 name=f"layers_{i}")(x, c_in, freqs, mask, skip_in)
+                                 name=f"layers_{i}")(x, c_in, freqs, mask,
+                                                     skip_in, rope_full)
             if i in emit:
                 skips.append(x)
         return AdaptiveRMSNorm(cfg.dim, cfg.norm_eps, name="norm")(x, c_in)

@@ -31,6 +31,141 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _pair_swap_matrix(d: int, dtype=jnp.float32) -> jax.Array:
+    """(d, d) permutation P with (x @ P)[2i] = x[2i+1], (x @ P)[2i+1] = x[2i].
+
+    Built from 2-D iotas (TPU requires >=1-D iota); the matmul by P is how the
+    kernel swaps RoPE pairs without strided lane slicing (a (bq, d) x (d, d)
+    matmul is ~free on the MXU at d=64).
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+    return (row == jnp.bitwise_xor(col, 1)).astype(dtype)
+
+
+def _rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
+          swap: jax.Array) -> jax.Array:
+    """Interleaved-pair RoPE in fp32: x*cos + pair_swap(x)*sin_signed.
+
+    cos/sin are (T, d) with cos[:, 2i] = cos[:, 2i+1] = cos(theta_i) and
+    sin[:, 2i] = -sin(theta_i), sin[:, 2i+1] = +sin(theta_i) — this is
+    algebraically identical to the reference ``apply_rotary_emb``
+    (``modules/diffusion_transformer.py:300-312``).
+    """
+    xf = x.astype(jnp.float32)
+    swapped = jax.lax.dot_general(
+        xf, swap, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return xf * cos + swapped * sin
+
+
+def _attn_kernel_v2(lens_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
+                    scale: float, masked: bool, block_q: int):
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    T = k_ref.shape[2]
+    d = q_ref.shape[3]
+
+    swap = _pair_swap_matrix(d)
+    cos_q = cos_ref[pl.ds(i * block_q, block_q), :]
+    sin_q = sin_ref[pl.ds(i * block_q, block_q), :]
+    # scale folded into q after RoPE (saves a (bq, T) multiply pass).
+    q = (_rope(q_ref[0, 0], cos_q, sin_q, swap) * scale).astype(q_ref.dtype)
+    k = _rope(k_ref[0, 0], cos_ref[...], sin_ref[...], swap).astype(k_ref.dtype)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (bq, T) f32
+
+    if masked:
+        # Plain predicated select: a lax.cond that skips the pass when all
+        # keys are valid measured ~0.95 ms SLOWER per call (Mosaic double-
+        # buffers the conditional value and breaks the dot->exp fusion).
+        n = lens_ref[b]
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(cols < n, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    # exp fused straight into the dtype cast: only ONE (bq, T) buffer beyond
+    # the logits is live (VMEM budget), and the normalisation is deferred —
+    # PV runs on unnormalised probs and the (bq, d) output is divided by the
+    # partition sum instead of the (bq, T) matrix.
+    p = jnp.exp(s - m).astype(q_ref.dtype)
+    denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+    acc = jax.lax.dot_general(
+        p, v_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (acc / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "masked"))
+def dit_attention_fused(q: jax.Array, k: jax.Array, v: jax.Array,
+                        cos: jax.Array, sin: jax.Array,
+                        lens: jax.Array | None = None, *,
+                        block_q: int = 512, masked: bool = True) -> jax.Array:
+    """Attention with in-kernel RoPE and deferred softmax normalisation.
+
+    q/k/v: (B, H, T, d) bf16, PRE-RoPE.  cos/sin: (T, d) fp32 caches from
+    ``rope_full_cache``.  lens: (B,) valid key counts (None = all valid).
+    Returns (B, H, T, d).
+
+    vs ``dit_attention``: RoPE is applied inside the kernel (profiling showed
+    the out-of-kernel fp32 RoPE stack/reshape relayouts cost ~0.9 ms/step at
+    B=2, T=2560), the 1/sqrt(d) scale is folded into q, the key-padding mask
+    pass is skipped at runtime when every key is valid, and the softmax
+    division is applied to the (bq, d) output instead of the (bq, T) matrix.
+    """
+    B, H, T, d = q.shape
+    if T % block_q:
+        raise ValueError(f"T={T} not a multiple of block_q={block_q}")
+    # Clamp block_q to the VMEM budget: the (bq, T) fp32 logits plus the
+    # (bq, T) prob tile dominate; ~5 MB is fixed (K/V, RoPE caches and fp32
+    # RoPE transients).  Measured: bq=1280 at T=2560 bf16 wants 24.8 MB
+    # against the 16 MB scoped-vmem limit; bq<=640 compiles and is fastest.
+    budget = 10 * 1024 * 1024
+    per_row = T * (4 + q.dtype.itemsize)
+    while block_q > 128 and (block_q * per_row > budget or T % block_q):
+        block_q //= 2
+    scale = 1.0 / math.sqrt(d)
+    if lens is None:
+        lens = jnp.full((B,), T, jnp.int32)
+        masked = False
+
+    grid = (B, H, T // block_q)
+    kernel = functools.partial(_attn_kernel_v2, scale=scale, masked=masked,
+                               block_q=block_q)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda b, h, i, L: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, T, d), lambda b, h, i, L: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, T, d), lambda b, h, i, L: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, d), lambda b, h, i, L: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, d), lambda b, h, i, L: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d),
+                                   lambda b, h, i, L: (b, h, i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, T, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * T * T * d,
+            bytes_accessed=(3 * B * H * T * d + B * H * T * d) * 2,
+            transcendentals=B * H * T * T,
+        ),
+        interpret=(jax.default_backend() == "cpu"),
+    )(lens.astype(jnp.int32), q, k, v, cos, sin)
+
+
 def _attn_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
                  masked: bool):
     b = pl.program_id(0)
