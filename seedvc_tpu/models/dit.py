@@ -31,6 +31,33 @@ from seedvc_tpu.nn.transformer import Transformer, TransformerConfig
 from seedvc_tpu.nn.wavenet import WaveNet
 
 
+class SplitDense(nn.Module):
+    """A Dense whose input is applied in two slices sharing ONE (in, out)
+    kernel — so the static slice (prompt/cond/style, invariant across
+    diffusion steps) can be computed once outside the sampler scan while the
+    dynamic slice (the noisy mel x) is applied per step.  Param pytree is
+    identical to ``nn.Dense`` (kernel (total_in, features) + bias), keeping
+    checkpoint-converter compatibility for ``cond_x_merge_linear``.
+    """
+
+    features: int
+    total_in: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, start: int,
+                 with_bias: bool) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.total_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        w = jax.lax.slice_in_dim(kernel, start, start + x.shape[-1], axis=0)
+        out = jnp.dot(x, w.astype(self.dtype))
+        if with_bias:
+            out = out + bias.astype(self.dtype)
+        return out
+
+
 class FinalLayer(nn.Module):
     """LayerNorm (no affine) + adaLN shift/scale + linear (reference
     ``:388-405``)."""
@@ -56,32 +83,58 @@ class DiT(nn.Module):
         self,
         x: jax.Array,          # (B, T, C_mel) noisy mel
         prompt_x: jax.Array,   # (B, T, C_mel) reference prompt (zero elsewhere)
-        x_lens: jax.Array,     # (B,) int
+        x_lens: Optional[jax.Array],  # (B,) int; None = every frame valid
+                               # (statically skips all masking passes)
         t: jax.Array,          # (B,) diffusion time in [0, 1]
         style: jax.Array,      # (B, style_dim)
         cond: jax.Array,       # (B, T, content_dim) length-regulated content
         cond_drop: Optional[jax.Array] = None,  # (B,) 1.0 = null/CFG branch
         deterministic: bool = True,
+        return_static: bool = False,
+        static_cond: Optional[dict] = None,
     ) -> jax.Array:
+        """``return_static=True`` computes only the step-invariant
+        conditioning (projected cond, static half of the merge linear, style
+        token) and returns it as a dict; passing that dict back as
+        ``static_cond`` skips recomputing it — the Euler sampler hoists ~7
+        GFLOP/step of invariant matmuls out of its 25-step scan this way.
+        """
         mp = self.params_cfg
         dc = mp.DiT
         B, T, C = x.shape
         keep = 1.0 if cond_drop is None else (1.0 - cond_drop)[:, None, None].astype(x.dtype)
 
-        t1 = TimestepEmbedder(dc.hidden_dim, name="t_embedder")(t)
-        cond_p = nn.Dense(dc.hidden_dim, name="cond_projection", dtype=x.dtype)(cond)
-
-        parts = [x, prompt_x * keep, cond_p * keep]
+        static_in = C + C + dc.hidden_dim
         if dc.style_condition and not dc.style_as_token:
-            style_rep = jnp.broadcast_to(style[:, None, :], (B, T, style.shape[-1]))
-            parts.append(style_rep * keep)
-        x_in = nn.Dense(dc.hidden_dim, name="cond_x_merge_linear",
-                        dtype=x.dtype)(jnp.concatenate(parts, axis=-1))
+            static_in += mp.style_encoder.dim
+        merge = SplitDense(dc.hidden_dim, static_in, dtype=x.dtype,
+                           name="cond_x_merge_linear")
+
+        if static_cond is None:
+            cond_p = nn.Dense(dc.hidden_dim, name="cond_projection",
+                              dtype=x.dtype)(cond)
+            parts = [prompt_x * keep, cond_p * keep]
+            if dc.style_condition and not dc.style_as_token:
+                style_rep = jnp.broadcast_to(style[:, None, :],
+                                             (B, T, style.shape[-1]))
+                parts.append(style_rep * keep)
+            merged_static = merge(jnp.concatenate(parts, axis=-1), C, True)
+            style_tok = None
+            if dc.style_as_token:
+                style_tok = nn.Dense(dc.hidden_dim, name="style_in",
+                                     dtype=x.dtype)(style) \
+                    * (keep[:, 0] if cond_drop is not None else 1.0)
+            if return_static:
+                return {"merged": merged_static, "style_tok": style_tok}
+        else:
+            merged_static = static_cond["merged"]
+            style_tok = static_cond["style_tok"]
+
+        t1 = TimestepEmbedder(dc.hidden_dim, name="t_embedder")(t)
+        x_in = merge(x, 0, False) + merged_static
 
         n_prefix = 0
         if dc.style_as_token:
-            style_tok = nn.Dense(dc.hidden_dim, name="style_in", dtype=x.dtype)(style) \
-                * (keep[:, 0] if cond_drop is not None else 1.0)
             x_in = jnp.concatenate([style_tok[:, None, :], x_in], axis=1)
             n_prefix += 1
         if dc.time_as_token:
@@ -89,9 +142,14 @@ class DiT(nn.Module):
             n_prefix += 1
 
         # Key-side padding mask (reference ``:518-520``): queries may attend
-        # only to valid positions (prefix tokens always valid).
-        key_mask = sequence_mask(x_lens + n_prefix, T + n_prefix)  # (B, T')
-        attn_mask = key_mask[:, None, None, :]  # broadcast over heads, queries
+        # only to valid positions (prefix tokens always valid).  With
+        # x_lens=None the mask is statically absent — the attention kernel
+        # skips its bias pass entirely (full-window sampling, e.g. bench.py).
+        if x_lens is None:
+            attn_mask = None
+        else:
+            key_mask = sequence_mask(x_lens + n_prefix, T + n_prefix)
+            attn_mask = key_mask[:, None, None, :]  # broadcast heads, queries
 
         trunk = Transformer(
             TransformerConfig(
@@ -120,7 +178,8 @@ class DiT(nn.Module):
             wn = mp.wavenet
             h = nn.Dense(wn.hidden_dim, name="conv1", dtype=x.dtype)(x_res)
             t2 = TimestepEmbedder(wn.hidden_dim, name="t_embedder2")(t)
-            mask = sequence_mask(x_lens, T)[..., None].astype(x.dtype)
+            mask = (None if x_lens is None
+                    else sequence_mask(x_lens, T)[..., None].astype(x.dtype))
             h = WaveNet(
                 hidden_channels=wn.hidden_dim,
                 kernel_size=wn.kernel_size,

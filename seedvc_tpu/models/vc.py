@@ -38,9 +38,13 @@ class VCModel(nn.Module):
     def regulate(self, features, ylens, target_len, f0=None):
         return self.length_regulator(features, ylens, target_len, f0)
 
-    def estimate(self, x, prompt_x, x_lens, t, style, cond, cond_drop=None):
+    def estimate(self, x, prompt_x, x_lens, t, style, cond, cond_drop=None,
+                 static_cond=None):
         return self.cfm.estimate(x, prompt_x, x_lens, t, style, cond,
-                                 cond_drop=cond_drop)
+                                 cond_drop=cond_drop, static_cond=static_cond)
+
+    def precompute_cond(self, x, prompt_x, x_lens, style, cond):
+        return self.cfm.precompute_cond(x, prompt_x, x_lens, style, cond)
 
     def __call__(self, s_alt, s_ori, mels, mel_lens, style, *,
                  rngs_dict, f0=None, deterministic: bool = False):

@@ -42,8 +42,7 @@ class WaveNet(nn.Module):
         """x: (B, T, C); x_mask: (B, T, 1) or None; g: (B, 1, gin)."""
         C = self.hidden_channels
         output = jnp.zeros_like(x)
-        if x_mask is None:
-            x_mask = jnp.ones((x.shape[0], x.shape[1], 1), x.dtype)
+        # x_mask=None statically skips the mask multiplies (all frames valid).
 
         if g is not None and self.gin_channels:
             # One 1x1 conv producing all layers' conditioning at once
@@ -76,10 +75,12 @@ class WaveNet(nn.Module):
             if i < self.n_layers - 1:
                 res_skip = nn.Conv(2 * C, (1,), name=f"res_skip_layers_{i}",
                                    dtype=x.dtype)(acts)
-                x = (x + res_skip[..., :C]) * x_mask
+                x = x + res_skip[..., :C]
+                if x_mask is not None:
+                    x = x * x_mask
                 output = output + res_skip[..., C:]
             else:
                 res_skip = nn.Conv(C, (1,), name=f"res_skip_layers_{i}",
                                    dtype=x.dtype)(acts)
                 output = output + res_skip
-        return output * x_mask
+        return output if x_mask is None else output * x_mask

@@ -59,11 +59,11 @@ def _rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
     return xf * cos + swapped * sin
 
 
-def _attn_kernel_v2(lens_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
-                    scale: float, masked: bool, block_q: int):
-    b = pl.program_id(0)
+def _attn_kernel_v2(q_ref, k_ref, v_ref, cos_ref, sin_ref, *rest,
+                    scale: float, block_q: int):
+    # rest is (bias_ref, o_ref) when masked, (o_ref,) otherwise.
+    bias_ref, o_ref = rest if len(rest) == 2 else (None, rest[0])
     i = pl.program_id(2)
-    T = k_ref.shape[2]
     d = q_ref.shape[3]
 
     swap = _pair_swap_matrix(d)
@@ -77,13 +77,13 @@ def _attn_kernel_v2(lens_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (bq, T) f32
 
-    if masked:
-        # Plain predicated select: a lax.cond that skips the pass when all
-        # keys are valid measured ~0.95 ms SLOWER per call (Mosaic double-
-        # buffers the conditional value and breaks the dot->exp fusion).
-        n = lens_ref[b]
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(cols < n, s, NEG_INF)
+    if bias_ref is not None:
+        # Additive key-padding bias (0 or -1e30) precomputed OUTSIDE the
+        # kernel: one broadcast add instead of an in-kernel iota+compare+
+        # select, and a lax.cond that skips the pass when all keys are valid
+        # measured ~0.95 ms SLOWER per call (Mosaic double-buffers the
+        # conditional value and breaks the dot->exp fusion).
+        s = s + bias_ref[0]
 
     m = jnp.max(s, axis=-1, keepdims=True)
     # exp fused straight into the dtype cast: only ONE (bq, T) buffer beyond
@@ -111,9 +111,11 @@ def dit_attention_fused(q: jax.Array, k: jax.Array, v: jax.Array,
 
     vs ``dit_attention``: RoPE is applied inside the kernel (profiling showed
     the out-of-kernel fp32 RoPE stack/reshape relayouts cost ~0.9 ms/step at
-    B=2, T=2560), the 1/sqrt(d) scale is folded into q, the key-padding mask
-    pass is skipped at runtime when every key is valid, and the softmax
-    division is applied to the (bq, d) output instead of the (bq, T) matrix.
+    B=2, T=2560), the 1/sqrt(d) scale is folded into q, key padding is one
+    broadcast add of a bias row precomputed outside the kernel (loop-
+    invariant across diffusion steps, so XLA hoists it out of the sampler
+    scan), and the softmax division is applied to the (bq, d) output instead
+    of the (bq, T) matrix.
     """
     B, H, T, d = q.shape
     if T % block_q:
@@ -128,34 +130,38 @@ def dit_attention_fused(q: jax.Array, k: jax.Array, v: jax.Array,
         block_q //= 2
     scale = 1.0 / math.sqrt(d)
     if lens is None:
-        lens = jnp.full((B,), T, jnp.int32)
         masked = False
 
     grid = (B, H, T // block_q)
-    kernel = functools.partial(_attn_kernel_v2, scale=scale, masked=masked,
-                               block_q=block_q)
+    kernel = functools.partial(_attn_kernel_v2, scale=scale, block_q=block_q)
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b, h, i: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, T, d), lambda b, h, i: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, T, d), lambda b, h, i: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, d), lambda b, h, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, d), lambda b, h, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v, cos, sin]
+    if masked:
+        bias = jnp.where(jnp.arange(T)[None, :] < lens[:, None].astype(
+            jnp.int32), 0.0, NEG_INF).astype(jnp.float32)
+        # (B, 1, T) so the block's last-two dims satisfy Mosaic tiling.
+        in_specs.append(pl.BlockSpec((1, 1, T), lambda b, h, i: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias[:, None, :])
+
     return pl.pallas_call(
         kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1, block_q, d),
-                             lambda b, h, i, L: (b, h, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, T, d), lambda b, h, i, L: (b, h, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, T, d), lambda b, h, i, L: (b, h, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((T, d), lambda b, h, i, L: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((T, d), lambda b, h, i, L: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, 1, block_q, d),
-                                   lambda b, h, i, L: (b, h, i, 0),
-                                   memory_space=pltpu.VMEM),
-        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda b, h, i: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, T, d), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * T * T * d,
@@ -163,7 +169,7 @@ def dit_attention_fused(q: jax.Array, k: jax.Array, v: jax.Array,
             transcendentals=B * H * T * T,
         ),
         interpret=(jax.default_backend() == "cpu"),
-    )(lens.astype(jnp.int32), q, k, v, cos, sin)
+    )(*args)
 
 
 def _attn_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,

@@ -236,14 +236,18 @@ class VoiceConverter:
                 prompt_mel = prompt_mel.astype(cd)
                 style = style.astype(cd)
 
-            def estimate(x, p, l, t, s, m):
+            def estimate(x, p, l, t, s, m, sc=None):
                 return vc.apply({"params": params}, x, p, l, t, s, m,
-                                method=vc.estimate)
+                                static_cond=sc, method=vc.estimate)
+
+            def precompute(x, p, l, s, m):
+                return vc.apply({"params": params}, x, p, l, s, m,
+                                method=vc.precompute_cond)
 
             mel_out = euler_solve(
                 estimate, key, cond_cat, total_len, prompt_mel, prompt_len,
                 style, n_mels=n_mels_, n_timesteps=n_steps, cfg_rate=cfg_rate,
-                shard_axis=self.cfg_shard_axis)
+                shard_axis=self.cfg_shard_axis, precompute_fn=precompute)
             gen = jax.lax.dynamic_slice(
                 mel_out, (0, prompt_len, 0),
                 (1, W, n_mels_)).astype(jnp.float32)
