@@ -20,6 +20,38 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class DilatedConvAsMatmul(nn.Module):
+    """1-D dilated conv expressed as a sum of k shifted matmuls.
+
+    XLA's TPU conv emitter runs these shapes at ~80-120 TF/s while plain
+    matmuls hit ~200 TF/s; summing k (T, C)x(C, F) dots over pre-shifted
+    views keeps everything on the MXU's fast path.  Param pytree is
+    identical to ``nn.Conv`` (kernel (k, C, F) + bias (F,)), so checkpoint
+    converters are unaffected.  Input must already be padded; output length
+    is T_pad - (k-1)*dilation.
+    """
+
+    features: int
+    kernel_size: int
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x_pad: jax.Array) -> jax.Array:
+        C = x_pad.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, C, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kernel = kernel.astype(x_pad.dtype)
+        T = x_pad.shape[1] - (self.kernel_size - 1) * self.dilation
+        out = bias.astype(x_pad.dtype)
+        for j in range(self.kernel_size):
+            tap = jax.lax.slice_in_dim(x_pad, j * self.dilation,
+                                       j * self.dilation + T, axis=1)
+            out = out + jnp.dot(tap, kernel[j])
+        return out
+
+
 class WaveNet(nn.Module):
     hidden_channels: int
     kernel_size: int
@@ -59,9 +91,9 @@ class WaveNet(nn.Module):
             pad = (self.kernel_size - 1) * dilation // 2
             mode = "reflect" if self.pad_mode == "reflect" else "constant"
             x_pad = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode=mode)
-            x_in = nn.Conv(
-                2 * C, (self.kernel_size,), kernel_dilation=dilation,
-                padding="VALID", name=f"in_layers_{i}", dtype=x.dtype,
+            x_in = DilatedConvAsMatmul(
+                2 * C, self.kernel_size, dilation,
+                name=f"in_layers_{i}",
             )(x_pad)
             if g_all is not None:
                 g_l = g_all[..., i * 2 * C:(i + 1) * 2 * C]
@@ -73,14 +105,14 @@ class WaveNet(nn.Module):
                 acts = nn.Dropout(self.p_dropout, deterministic=deterministic)(acts)
 
             if i < self.n_layers - 1:
-                res_skip = nn.Conv(2 * C, (1,), name=f"res_skip_layers_{i}",
-                                   dtype=x.dtype)(acts)
+                res_skip = DilatedConvAsMatmul(
+                    2 * C, 1, name=f"res_skip_layers_{i}")(acts)
                 x = x + res_skip[..., :C]
                 if x_mask is not None:
                     x = x * x_mask
                 output = output + res_skip[..., C:]
             else:
-                res_skip = nn.Conv(C, (1,), name=f"res_skip_layers_{i}",
-                                   dtype=x.dtype)(acts)
+                res_skip = DilatedConvAsMatmul(
+                    C, 1, name=f"res_skip_layers_{i}")(acts)
                 output = output + res_skip
         return output if x_mask is None else output * x_mask
