@@ -61,8 +61,12 @@ def _rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
 
 def _attn_kernel_v2(q_ref, k_ref, v_ref, cos_ref, sin_ref, *rest,
                     scale: float, block_q: int):
-    # rest is (bias_ref, o_ref) when masked, (o_ref,) otherwise.
-    bias_ref, o_ref = rest if len(rest) == 2 else (None, rest[0])
+    # rest is (bias_ref?, o_ref, k_scratch): bias only when masked; the
+    # scratch ref comes after the output ref.
+    if len(rest) == 3:
+        bias_ref, o_ref, k_scratch = rest
+    else:
+        bias_ref, (o_ref, k_scratch) = None, rest
     i = pl.program_id(2)
     d = q_ref.shape[3]
 
@@ -71,7 +75,16 @@ def _attn_kernel_v2(q_ref, k_ref, v_ref, cos_ref, sin_ref, *rest,
     sin_q = sin_ref[pl.ds(i * block_q, block_q), :]
     # scale folded into q after RoPE (saves a (bq, T) multiply pass).
     q = (_rope(q_ref[0, 0], cos_q, sin_q, swap) * scale).astype(q_ref.dtype)
-    k = _rope(k_ref[0, 0], cos_ref[...], sin_ref[...], swap).astype(k_ref.dtype)
+
+    # Rotate K once per (batch, head): the K block is VMEM-resident across
+    # the q-block grid dimension (constant index map), so cache its RoPE in
+    # scratch on the first q-block instead of recomputing it T//bq times.
+    @pl.when(i == 0)
+    def _():
+        k_scratch[...] = _rope(k_ref[0, 0], cos_ref[...], sin_ref[...],
+                               swap).astype(k_scratch.dtype)
+
+    k = k_scratch[...]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
@@ -162,6 +175,7 @@ def dit_attention_fused(q: jax.Array, k: jax.Array, v: jax.Array,
         out_specs=pl.BlockSpec((1, 1, block_q, d),
                                lambda b, h, i: (b, h, i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((T, d), q.dtype)],
         out_shape=jax.ShapeDtypeStruct((B, H, T, d), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * T * T * d,
