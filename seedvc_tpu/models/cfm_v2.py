@@ -45,8 +45,14 @@ def euler_solve_multicfg(
     cfg_rates: Sequence[float] = (0.5, 0.5),
     random_voice: bool = False,
     shard_axis: str | None = None,
+    precompute_fn: Callable | None = None,
 ) -> jax.Array:
     """estimate_fn(x, prompt_x, x_lens, t, style, mu) -> velocity.
+
+    ``x_lens=None`` statically removes every masking pass (full window).
+    ``precompute_fn(x, prompt_x, x_lens, style, mu) -> static_cond`` hoists
+    the step-invariant conditioning out of the scan (see v1
+    ``euler_solve``).
 
     ``shard_axis``: mesh axis name to shard the stacked CFG batch over —
     the v2 3-way stack [full / text-only / unconditional] is the natural
@@ -99,16 +105,26 @@ def euler_solve_multicfg(
     est_prompt = shard(jnp.concatenate([b[0] for b in branches], 0))
     est_style = shard(jnp.concatenate([b[1] for b in branches], 0))
     est_mu = shard(jnp.concatenate([b[2] for b in branches], 0))
-    est_lens = shard(jnp.concatenate([x_lens] * n_br, 0))
+    est_lens = (None if x_lens is None
+                else shard(jnp.concatenate([x_lens] * n_br, 0)))
     w = jnp.asarray(weights, mu.dtype)
 
     t_span = cosine_t_span(n_timesteps)
+
+    if precompute_fn is not None:
+        static_cond = precompute_fn(
+            jnp.zeros((n_br * B, T, n_mels), mu.dtype), est_prompt, est_lens,
+            est_style, est_mu)
+        est_args = (static_cond,)
+    else:
+        est_args = ()
 
     def step(x, ts):
         t_cur, dt = ts
         xx = shard(jnp.concatenate([x] * n_br, 0))
         tt = jnp.full((n_br * B,), t_cur, mu.dtype)
-        v = estimate_fn(xx, est_prompt, est_lens, tt, est_style, est_mu)
+        v = estimate_fn(xx, est_prompt, est_lens, tt, est_style, est_mu,
+                        *est_args)
         v = v.reshape(n_br, B, T, n_mels)
         v = jnp.tensordot(w, v, axes=1)
         x = (x + dt.astype(jnp.float32) * v.astype(jnp.float32)).astype(x.dtype)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from seedvc_tpu.core.utils import sequence_mask
+from seedvc_tpu.models.dit import SplitDense
 from seedvc_tpu.nn.layers import (
     Attention, FeedForward, RMSNorm, TimestepEmbedder, ffn_intermediate_size,
     rope_cache)
@@ -74,27 +75,42 @@ class DiTV2(nn.Module):
         self,
         x: jax.Array,          # (B, T, C_mel)
         prompt_x: jax.Array,   # (B, T, C_mel)
-        x_lens: jax.Array,     # (B,)
+        x_lens: Optional[jax.Array],  # (B,); None = all frames valid
         t: jax.Array,          # (B,)
         style: jax.Array,      # (B, S)
         cond: jax.Array,       # (B, T, content_dim)
         prompt_drop: Optional[jax.Array] = None,   # (B,) 1.0 = drop prompt+style
         content_drop: Optional[jax.Array] = None,  # (B,) 1.0 = drop content too
+        return_static: bool = False,
+        static_cond: Optional[dict] = None,
     ) -> jax.Array:
+        """``return_static``/``static_cond``: step-invariant conditioning
+        cache for the Euler sampler — same contract as v1 ``DiT.__call__``."""
         c = self.cfg
-        B, T, _ = x.shape
+        B, T, C = x.shape
         keep_p = 1.0 if prompt_drop is None else (1.0 - prompt_drop)[:, None, None]
         keep_c = 1.0 if content_drop is None else (1.0 - content_drop)[:, None, None]
 
+        merge = SplitDense(c.hidden_dim, C + C + c.hidden_dim, dtype=x.dtype,
+                           name="cond_x_merge_linear")
+        if static_cond is None:
+            cond_p = nn.Dense(c.hidden_dim, name="cond_projection",
+                              dtype=x.dtype)(cond)
+            merged_static = merge(
+                jnp.concatenate([prompt_x * keep_p, cond_p * keep_c], axis=-1),
+                C, True)
+            style_tok = nn.Dense(c.hidden_dim, name="style_in",
+                                 dtype=x.dtype)(style)
+            if prompt_drop is not None:
+                style_tok = style_tok * (1.0 - prompt_drop)[:, None]
+            if return_static:
+                return {"merged": merged_static, "style_tok": style_tok}
+        else:
+            merged_static = static_cond["merged"]
+            style_tok = static_cond["style_tok"]
+
         t1 = TimestepEmbedder(c.hidden_dim, name="t_embedder")(t)
-        cond_p = nn.Dense(c.hidden_dim, name="cond_projection", dtype=x.dtype)(cond)
-
-        x_in = nn.Dense(c.hidden_dim, name="cond_x_merge_linear", dtype=x.dtype)(
-            jnp.concatenate([x, prompt_x * keep_p, cond_p * keep_c], axis=-1))
-
-        style_tok = nn.Dense(c.hidden_dim, name="style_in", dtype=x.dtype)(style)
-        if prompt_drop is not None:
-            style_tok = style_tok * (1.0 - prompt_drop)[:, None]
+        x_in = merge(x, 0, False) + merged_static
         n_prefix = 0
         if c.style_as_token:
             x_in = jnp.concatenate([style_tok[:, None, :], x_in], axis=1)
@@ -103,8 +119,11 @@ class DiTV2(nn.Module):
             x_in = jnp.concatenate([t1[:, None, :].astype(x.dtype), x_in], axis=1)
             n_prefix += 1
 
-        key_mask = sequence_mask(x_lens + n_prefix, T + n_prefix)
-        attn_mask = key_mask[:, None, None, :]
+        if x_lens is None:
+            attn_mask = None
+        else:
+            key_mask = sequence_mask(x_lens + n_prefix, T + n_prefix)
+            attn_mask = key_mask[:, None, None, :]
         freqs = jnp.asarray(rope_cache(T + n_prefix, c.hidden_dim // c.num_heads,
                                        c.rope_base))
         cc = t1[:, None, :]

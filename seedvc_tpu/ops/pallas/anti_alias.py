@@ -49,20 +49,30 @@ def _make_kernel_clean(TT: int, CT: int, T: int):
     last_tile = (T - 1) // TT
     r_last = (T - 1) - last_tile * TT + 3
 
-    def kernel(x_hbm, alpha_ref, invb_ref, out_ref, xw, sem):
-        b = pl.program_id(0)
-        ti = pl.program_id(1)
-        ci = pl.program_id(2)
+    # local x-row of global sample 0 is _HALO; of sample T-1 is below:
+    r_x_last = (T - 1) - last_tile * TT + _HALO
 
-        dma = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(ti * TT, TT + 2 * _HALO), pl.ds(ci * CT, CT)],
-            xw, sem)
-        dma.start()
+    def kernel(prev_ref, cur_ref, next_ref, alpha_ref, invb_ref, out_ref):
+        ti = pl.program_id(1)
+
         alpha = alpha_ref[0, :]
         inv_beta = invb_ref[0, :]
-        dma.wait()
 
-        x = xw[:]
+        # Halo assembly from the auto-pipelined prev/cur/next blocks (the
+        # previous manual-DMA version stalled every tile on its own fetch —
+        # Pallas double-buffers BlockSpec inputs for free).
+        x = jnp.concatenate(
+            [prev_ref[0, TT - _HALO:, :], cur_ref[0], next_ref[0, :_HALO, :]],
+            axis=0)
+        # x-level replicate clamping, in-kernel: on the global first/last
+        # tiles the halo blocks hold out-of-range data (clamped index maps),
+        # so overwrite rows before sample 0 / after sample T-1 with the edge
+        # samples (the reference's replication padding).
+        xrow = jax.lax.broadcasted_iota(jnp.int32, (TT + 2 * _HALO, 1), 0)
+        x = jnp.where(jnp.logical_and(ti == 0, xrow < _HALO),
+                      x[_HALO: _HALO + 1, :], x)
+        x = jnp.where(jnp.logical_and(ti == last_tile, xrow > r_x_last),
+                      x[r_x_last: r_x_last + 1, :], x)
 
         u0 = jnp.zeros((SU, CT), jnp.float32)
         u1 = jnp.zeros((SU, CT), jnp.float32)
@@ -113,21 +123,32 @@ def anti_alias_snake(x: jax.Array, alpha: jax.Array, beta: jax.Array,
     n_t = -(-T // TT)
     n_c = Cp // CT
 
-    # Pad time to tile multiple + halo; edge mode realises x-level clamping.
+    # Pad time to a tile multiple (values in the pad region never influence
+    # retained outputs: the kernel replicate-clamps past sample T-1).
     Tp = n_t * TT
-    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (_HALO, _HALO + (Tp - T)), (0, 0)),
-                 mode="edge")
+    xp = jnp.pad(x.astype(jnp.float32),
+                 ((0, 0), (0, Tp - T), (0, 0)), mode="edge")
     if Cp != C:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, Cp - C)))
         alpha = jnp.pad(alpha, (0, Cp - C), constant_values=1.0)
         inv_beta = jnp.pad(inv_beta, (0, Cp - C), constant_values=1.0)
 
     kernel = _make_kernel_clean(TT, CT, T)
+    last_t = n_t - 1
     out = pl.pallas_call(
         kernel,
         grid=(B, n_t, n_c),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            # prev / cur / next time-tiles: the halo is assembled in-kernel
+            # from the neighbouring auto-pipelined (double-buffered) blocks.
+            pl.BlockSpec((1, TT, CT),
+                         lambda b, t, c: (b, jnp.maximum(t - 1, 0), c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TT, CT), lambda b, t, c: (b, t, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TT, CT),
+                         lambda b, t, c: (b, jnp.minimum(t + 1, last_t), c),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, CT), lambda b, t, c: (0, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, CT), lambda b, t, c: (0, c),
@@ -136,11 +157,7 @@ def anti_alias_snake(x: jax.Array, alpha: jax.Array, beta: jax.Array,
         out_specs=pl.BlockSpec((1, TT, CT), lambda b, t, c: (b, t, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Tp, Cp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((TT + 2 * _HALO, CT), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=(jax.default_backend() == "cpu"),
-    )(xp, alpha.reshape(1, Cp).astype(jnp.float32),
+    )(xp, xp, xp, alpha.reshape(1, Cp).astype(jnp.float32),
       inv_beta.reshape(1, Cp).astype(jnp.float32))
     return out[:, :T, :C].astype(in_dtype)

@@ -180,13 +180,20 @@ class VoiceConverterV2:
                 prompt_mel = prompt_mel.astype(cd)
                 style = style.astype(cd)
 
-            def estimate(x, px, l, t, s, m):
-                return self.dit.apply({"params": p}, x, px, l, t, s, m)
+            def estimate(x, px, l, t, s, m, sc=None):
+                return self.dit.apply({"params": p}, x, px, l, t, s, m,
+                                      static_cond=sc)
+
+            def precompute(x, px, l, s, m):
+                return self.dit.apply({"params": p}, x, px, l,
+                                      jnp.zeros((x.shape[0],)), s, m,
+                                      return_static=True)
 
             mel_out = euler_solve_multicfg(
                 estimate, key, cond, total_len, prompt_mel, prompt_len, style,
                 n_mels=cfg.n_mels, n_timesteps=n_steps, cfg_rates=(r0, r1),
-                random_voice=random_voice, shard_axis=self.cfg_shard_axis)
+                random_voice=random_voice, shard_axis=self.cfg_shard_axis,
+                precompute_fn=precompute)
             gen = jax.lax.dynamic_slice(
                 mel_out, (0, prompt_len, 0),
                 (1, W, cfg.n_mels)).astype(jnp.float32)
