@@ -26,7 +26,7 @@ from seedvc_tpu.core.utils import sequence_mask
 from seedvc_tpu.models.dit import SplitDense
 from seedvc_tpu.nn.layers import (
     Attention, FeedForward, RMSNorm, TimestepEmbedder, ffn_intermediate_size,
-    rope_cache)
+    rope_cache, rope_full_cache)
 
 
 @dataclass(frozen=True)
@@ -42,13 +42,15 @@ class DiTV2Config:
     style_as_token: bool = True
     rope_base: float = 10000.0
     norm_eps: float = 1e-5
+    use_flash_attention: bool = True
+    flash_block_q: int = 640
 
 
 class AdaLNZeroBlock(nn.Module):
     cfg: DiTV2Config
 
     @nn.compact
-    def __call__(self, x, c, freqs, mask):
+    def __call__(self, x, c, freqs, mask, rope_full=None):
         d = self.cfg.hidden_dim
         mod = nn.Dense(6 * d, name="adaln_linear", dtype=x.dtype)(nn.silu(c))
         (shift_msa, scale_msa, gate_msa,
@@ -58,7 +60,10 @@ class AdaLNZeroBlock(nn.Module):
         normed = normed * (1 + scale_msa) + shift_msa
         attn = Attention(d, self.cfg.num_heads,
                          head_dim=d // self.cfg.num_heads,
-                         name="attention")(normed, freqs, mask)
+                         use_flash=self.cfg.use_flash_attention,
+                         flash_block_q=self.cfg.flash_block_q,
+                         name="attention")(normed, freqs, mask,
+                                           rope_full=rope_full)
         x = x + gate_msa * attn
 
         normed = RMSNorm(d, self.cfg.norm_eps, name="ffn_norm")(x)
@@ -124,12 +129,17 @@ class DiTV2(nn.Module):
         else:
             key_mask = sequence_mask(x_lens + n_prefix, T + n_prefix)
             attn_mask = key_mask[:, None, None, :]
-        freqs = jnp.asarray(rope_cache(T + n_prefix, c.hidden_dim // c.num_heads,
-                                       c.rope_base))
+        hd = c.hidden_dim // c.num_heads
+        freqs = jnp.asarray(rope_cache(T + n_prefix, hd, c.rope_base))
+        rope_full = None
+        if c.use_flash_attention:
+            cosr, sinr = rope_full_cache(T + n_prefix, hd, c.rope_base)
+            rope_full = (jnp.asarray(cosr), jnp.asarray(sinr))
         cc = t1[:, None, :]
         h = x_in
         for i in range(c.depth):
-            h = AdaLNZeroBlock(c, name=f"layers_{i}")(h, cc, freqs, attn_mask)
+            h = AdaLNZeroBlock(c, name=f"layers_{i}")(h, cc, freqs, attn_mask,
+                                                      rope_full)
 
         # final adaptive norm: (scale, shift) chunk order (dit_model.py:50-53).
         mod = nn.Dense(2 * c.hidden_dim, name="final_adaln_linear",

@@ -58,7 +58,11 @@ class V2Config:
     narrow: AstralConfig = field(default_factory=lambda: ASTRAL_NARROW)
     wide: AstralConfig = field(default_factory=lambda: ASTRAL_WIDE)
     prompt_cap_frames: int = 768
-    context_frames: int = 2583
+    # 2558 = 5*512 - 2: with the style+time prefix tokens the DiT attends
+    # over exactly 2560 positions, a 512 multiple, so the fused Pallas
+    # attention kernel engages (was 2583 = the reference's literal 30 s;
+    # the window is an implementation bucket, not a semantic constant).
+    context_frames: int = 2558
     max_ref_sec: float = 25.0  # reference clips target to 25 s (:565-578)
 
 
