@@ -124,6 +124,79 @@ def test_dit_padding_invariance():
         np.asarray(out1)[:, :L], np.asarray(out2)[:, :L], atol=2e-5)
 
 
+def test_dit_static_cond_cache_matches_direct():
+    """estimate with a precomputed static_cond must equal the direct call
+    (the Euler sampler hoists this out of its scan)."""
+    for kw in ({}, dict(time_as_token=True, style_as_token=True,
+                        long_skip_connection=False)):
+        mp = tiny_params("wavenet" if not kw else "mlp", **kw)
+        model = DiT(mp)
+        B, T = 2, 16
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((B, T, 8)), jnp.float32)
+        cond = jnp.asarray(rng.standard_normal((B, T, 16)), jnp.float32)
+        style = jnp.asarray(rng.standard_normal((B, 192)), jnp.float32)
+        lens = jnp.array([16, 12])
+        t = jnp.full((B,), 0.4)
+        variables = model.init(jax.random.PRNGKey(0), x, x, lens,
+                               jnp.zeros((B,)), style, cond)
+        direct = model.apply(variables, x, x, lens, t, style, cond)
+        static = model.apply(variables, x, x, lens, t, style, cond,
+                             return_static=True)
+        cached = model.apply(variables, x, x, lens, t, style, cond,
+                             static_cond=static)
+        np.testing.assert_allclose(np.asarray(direct), np.asarray(cached),
+                                   atol=1e-6)
+
+
+def test_dit_lens_none_matches_full_lens():
+    """x_lens=None (static unmasked path) must equal x_lens == T."""
+    mp = tiny_params("wavenet")
+    model = DiT(mp)
+    B, T = 2, 16
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((B, T, 8)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((B, T, 16)), jnp.float32)
+    style = jnp.asarray(rng.standard_normal((B, 192)), jnp.float32)
+    t = jnp.full((B,), 0.6)
+    variables = model.init(jax.random.PRNGKey(0), x, x, jnp.full((B,), T),
+                           jnp.zeros((B,)), style, cond)
+    full = model.apply(variables, x, x, jnp.full((B,), T), t, style, cond)
+    none = model.apply(variables, x, x, None, t, style, cond)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(none), atol=1e-6)
+
+
+def test_euler_solve_precompute_matches_plain():
+    """euler_solve with precompute_fn must reproduce the plain solver."""
+    mp = tiny_params("mlp")
+    B, T = 1, 16
+    cfm = CFM(mp)
+    rng = np.random.default_rng(9)
+    mu = jnp.asarray(rng.standard_normal((B, T, 16)), jnp.float32)
+    style = jnp.asarray(rng.standard_normal((B, 192)), jnp.float32)
+    prompt = jnp.zeros((B, T, 8))
+    variables = cfm.init(jax.random.PRNGKey(0), prompt, prompt,
+                         jnp.full((B,), T), jnp.zeros((B,)), style, mu,
+                         method=cfm.estimate)
+
+    def estimate_fn(x, p, l, t, s, m, sc=None):
+        return cfm.apply(variables, x, p, l, t, s, m, static_cond=sc,
+                         method=cfm.estimate)
+
+    def precompute_fn(x, p, l, s, m):
+        return cfm.apply(variables, x, p, l, s, m,
+                         method=cfm.precompute_cond)
+
+    key = jax.random.PRNGKey(5)
+    plain = euler_solve(estimate_fn, key, mu, None, prompt, 4, style,
+                        n_mels=8, n_timesteps=3, cfg_rate=0.7)
+    hoisted = euler_solve(estimate_fn, key, mu, None, prompt, 4, style,
+                          n_mels=8, n_timesteps=3, cfg_rate=0.7,
+                          precompute_fn=precompute_fn)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(hoisted),
+                               atol=1e-6)
+
+
 def test_cfm_loss_and_sampler():
     mp = tiny_params("mlp")
     B, T = 2, 16
