@@ -271,7 +271,16 @@ def get_se(wave: np.ndarray, sr: int, extract_fn, *,
     if sr != spec_sr:
         wave = np.asarray(resample(jnp.asarray(wave), sr, spec_sr))
         sr = spec_sr
-    segments = split_segments_by_energy(wave, sr) if vad else [wave]
+    if vad:
+        # Dual-feature classical VAD (energy + spectral flatness with
+        # hangover, dsp/vad.py) — substitute for the reference's whisper/
+        # silero segmentation in se_extractor.py; falls back to the plain
+        # energy segmenter below only via split_segments_by_energy.
+        from seedvc_tpu.dsp.vad import split_segments
+
+        segments = split_segments(wave, sr)
+    else:
+        segments = [wave]
     embs = []
     for seg in segments:
         spec = linear_spectrogram(jnp.asarray(seg[None]))

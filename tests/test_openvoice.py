@@ -139,8 +139,10 @@ def test_get_se_averages_segments():
         return np.full((1, 4), float(len(calls)), np.float32)
 
     sr = 22050
-    rng = np.random.default_rng(0)
-    loud = (rng.standard_normal(2 * sr) * 0.3).astype(np.float32)
+    t = np.arange(2 * sr) / sr
+    # harmonic "voiced" bursts (the VAD's flatness check rejects white noise)
+    loud = (0.3 * (np.sin(2 * np.pi * 220 * t)
+                   + 0.5 * np.sin(2 * np.pi * 440 * t))).astype(np.float32)
     wave = np.concatenate([np.zeros(sr, np.float32), loud,
                            np.zeros(sr, np.float32), loud])
     emb = get_se(wave, sr, fake_extract)
