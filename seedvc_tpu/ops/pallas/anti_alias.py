@@ -104,6 +104,137 @@ def _make_kernel_clean(TT: int, CT: int, T: int):
     return kernel
 
 
+def _make_kernel_grouped(TT: int, Cg: int, G: int, T: int):
+    """Grouped kernel: G independent time-tiles side by side in the lane
+    dim (lane group p = global tile G*ti + p), so every VPU pass — above
+    all the two sin() evaluations per sample — runs on fully dense
+    (TT+16, G*Cg=128) registers instead of C-padded-to-128 ones.  For the
+    C=24 BigVGAN stage that is a 4x cut in VPU work (profiling: that one
+    stage's activations cost 26.9 ms of a 142 ms vocoder forward).
+
+    Semantics identical to ``_make_kernel_clean``: all edge patches are
+    static (the global first/last tile index, its lane group, and the
+    clamp rows are compile-time constants), masked per lane group.
+    """
+    f = kaiser_sinc_filter1d(0.25, 0.3, _K)
+    g = kaiser_sinc_filter1d(0.25, 0.3, _K)
+    SU = TT + 6
+    R = TT + 2 * _HALO
+    last_tile = (T - 1) // TT
+    last_macro = last_tile // G
+    last_group = last_tile % G
+    r_last = (T - 1) - last_tile * TT + 3
+    r_x_last = (T - 1) - last_tile * TT + _HALO
+    M = G * TT
+
+    def kernel(xh_ref, alpha_ref, invb_ref, out_ref):
+        ti = pl.program_id(1)
+
+        alpha = alpha_ref[0, :]      # (G*Cg,) tiled per group
+        inv_beta = invb_ref[0, :]
+
+        # Input arrives pre-packed by the XLA wrapper:
+        # x[r, p*Cg + c] = x_global[(G*ti+p)*TT + r - 8, c].
+        x = xh_ref[0, 0]             # (R, G*Cg)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        grp = jax.lax.broadcasted_iota(jnp.int32, (1, G * Cg), 1) // Cg
+        # x-level replicate clamping (static masks; see _make_kernel_clean)
+        x = jnp.where((ti == 0) & (row < _HALO) & (grp == 0),
+                      x[_HALO: _HALO + 1, :], x)
+        x = jnp.where((ti == last_macro) & (row > r_x_last)
+                      & (grp == last_group),
+                      x[r_x_last: r_x_last + 1, :], x)
+
+        u0 = jnp.zeros((SU, G * Cg), jnp.float32)
+        u1 = jnp.zeros((SU, G * Cg), jnp.float32)
+        for j in range(6):
+            u0 += (2.0 * float(f[2 * j])) * x[j + 2: j + 2 + SU, :]
+            u1 += (2.0 * float(f[2 * j + 1])) * x[j + 3: j + 3 + SU, :]
+
+        s0 = u0 + inv_beta * jnp.sin(u0 * alpha) ** 2
+        s1 = u1 + inv_beta * jnp.sin(u1 * alpha) ** 2
+
+        urow = jax.lax.broadcasted_iota(jnp.int32, (SU, 1), 0)
+        left = (ti == 0) & (urow < 3) & (grp == 0)
+        edge_left = s0[3:4, :]
+        s0 = jnp.where(left, edge_left, s0)
+        s1 = jnp.where(left, edge_left, s1)
+        right = ((ti == last_macro) & (urow > r_last) & (grp == last_group))
+        edge_right = s1[r_last: r_last + 1, :]
+        s0 = jnp.where(right, edge_right, s0)
+        s1 = jnp.where(right, edge_right, s1)
+
+        out = jnp.zeros((TT, G * Cg), jnp.float32)
+        for j in range(6):
+            out += float(g[2 * j + 1]) * s0[j + 1: j + 1 + TT, :]
+            out += float(g[2 * j]) * s1[j: j + TT, :]
+        # stays lane-packed; the XLA wrapper unpacks (Mosaic cannot lower a
+        # lane-group -> sublane regrouping efficiently)
+        out_ref[0, 0] = out.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _anti_alias_grouped(x: jax.Array, alpha: jax.Array, inv_beta: jax.Array,
+                        tile_t: int) -> jax.Array:
+    """Grouped-lane path for C <= 64; x (B, T, C) f32.
+
+    The lane packing/unpacking (G time-tiles side by side in the 128-lane
+    dim) happens HERE in XLA — two cheap transposes — so the kernel body is
+    pure dense VPU work on (TT+16, 128) registers.
+    """
+    B, T, C = x.shape
+    Cg = 32 if C <= 32 else 64
+    G = 128 // Cg
+    TT = min(tile_t, max(8, T))
+    R = TT + 2 * _HALO
+    n_t = -(-T // TT)
+    n_m = -(-n_t // G)
+    n_t = n_m * G
+    Tp = n_t * TT
+    xp = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)), mode="edge")
+    if Cg != C:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, Cg - C)))
+        alpha = jnp.pad(alpha, (0, Cg - C), constant_values=1.0)
+        inv_beta = jnp.pad(inv_beta, (0, Cg - C), constant_values=1.0)
+    alpha_t = jnp.tile(alpha, G).reshape(1, G * Cg).astype(jnp.float32)
+    invb_t = jnp.tile(inv_beta, G).reshape(1, G * Cg).astype(jnp.float32)
+
+    # Per-tile halo windows (halo values at the global edges are garbage
+    # from the wrap-around roll; the kernel's static edge patches overwrite
+    # every row they influence).
+    xm = xp.reshape(B, n_t, TT, Cg)
+    prev_tail = jnp.roll(xm, 1, axis=1)[:, :, TT - _HALO:, :]
+    next_head = jnp.roll(xm, -1, axis=1)[:, :, :_HALO, :]
+    xh = jnp.concatenate([prev_tail, xm, next_head], axis=2)  # (B,n_t,R,Cg)
+    # pack G tiles into lanes: (B, n_m, R, G*Cg)
+    xh = xh.reshape(B, n_m, G, R, Cg).transpose(0, 1, 3, 2, 4) \
+           .reshape(B, n_m, R, G * Cg)
+
+    kernel = _make_kernel_grouped(TT, Cg, G, T)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_m),
+        in_specs=[
+            pl.BlockSpec((1, 1, R, G * Cg), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * Cg), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * Cg), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TT, G * Cg), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_m, TT, G * Cg), jnp.float32),
+        interpret=(jax.default_backend() == "cpu"),
+    )(xh, alpha_t, invb_t)
+    # unpack lane groups back to time order
+    out = out.reshape(B, n_m, TT, G, Cg).transpose(0, 1, 3, 2, 4) \
+             .reshape(B, Tp, Cg)
+    return out[:, :T, :C]
+
+
 @functools.partial(jax.jit, static_argnames=("logscale", "tile_t"))
 def anti_alias_snake(x: jax.Array, alpha: jax.Array, beta: jax.Array,
                      logscale: bool = True, tile_t: int = 512) -> jax.Array:
@@ -115,6 +246,12 @@ def anti_alias_snake(x: jax.Array, alpha: jax.Array, beta: jax.Array,
         inv_beta = 1.0 / (jnp.exp(beta) + 1e-9)
     else:
         inv_beta = 1.0 / (beta + 1e-9)
+
+    if C <= 64:
+        # Lane-grouped path: 128//Cg independent time-tiles packed into the
+        # lane dim so VPU passes (especially sin) run fully dense.
+        return _anti_alias_grouped(x.astype(jnp.float32), alpha, inv_beta,
+                                   tile_t).astype(in_dtype)
 
     TT = min(tile_t, max(8, T))
     # Lane (channel) dim must be 128-aligned for HBM slicing: pad C up.

@@ -16,7 +16,9 @@ def composition(x, alpha, beta, logscale=True):
     return downsample2x(h)
 
 
-@pytest.mark.parametrize("B,T,C", [(1, 512, 128), (2, 333, 24), (1, 40, 64)])
+@pytest.mark.parametrize("B,T,C", [(1, 512, 128), (2, 333, 24), (1, 40, 64),
+                                   (1, 1500, 48), (1, 1024, 24),
+                                   (2, 96, 96)])
 def test_fused_matches_composition(B, T, C):
     rng = np.random.default_rng(0)
     x = rng.standard_normal((B, T, C)).astype(np.float32)
