@@ -118,15 +118,20 @@ def main(argv=None):
                   "--xvector-checkpoint: random weights, SECS meaningless")
             wavlm_params = jax.jit(wavlm.init)(
                 jax.random.PRNGKey(0), jnp.zeros((1, 16000)))["params"]
-        _wavlm_fn = jax.jit(lambda p, w: wavlm.apply({"params": p}, w))
+        _wavlm_fn = jax.jit(
+            lambda p, w, l: wavlm.apply({"params": p}, w, lengths=l))
 
         def embed(wave_16k):
-            # 5 s buckets -> few compiles
+            # 5 s buckets -> few compiles; the true length flows in as a
+            # traced arg so padding is masked out of normalization,
+            # attention and stats pooling (HF attention_mask semantics) —
+            # embeddings match the unpadded forward.
             bucket = 5 * 16000
             n = -(-max(len(wave_16k), 8000) // bucket) * bucket
             padded = np.zeros(n, np.float32)
             padded[: len(wave_16k)] = wave_16k
-            return _wavlm_fn(wavlm_params, jnp.asarray(padded[None]))
+            return _wavlm_fn(wavlm_params, jnp.asarray(padded[None]),
+                             jnp.asarray([len(wave_16k)], jnp.int32))
     else:
         def embed(wave_16k):
             return converter.compute_style(wave_16k)
@@ -168,7 +173,10 @@ def main(argv=None):
         ref, ref_sr = load_wav(tgt_path)
         ref_16k = np.asarray(resample(jnp.asarray(ref), ref_sr, 16000))
         ref_emb = embed(ref_16k)
-        ref_emb_cp = converter.compute_style(ref_16k)
+        # secondary CAMPPlus SECS; with the campplus extractor embed() IS
+        # compute_style — reuse it instead of a second device dispatch.
+        ref_emb_cp = (ref_emb if args.xvector_extractor == "campplus"
+                      else converter.compute_style(ref_16k))
         for si, src_path in enumerate(sources):
             src, src_sr = load_wav(src_path)
             out_name = (f"{os.path.basename(tgt_path).split('.')[0]}_"

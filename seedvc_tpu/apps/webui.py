@@ -106,11 +106,22 @@ class ConverterRegistry:
         self.v2_checkpoint_dir = v2_checkpoint_dir
         self.examples = load_examples(examples_dir)
         self._cache: dict[str, object] = {}
-        self.lock = threading.Lock()  # serialize TPU work
+        # RLock: converter CONSTRUCTION (minutes of jit compiles on the TPU)
+        # must hold the same lock that serializes conversions — two threads
+        # lazily building at once would double device memory and race the
+        # single-program tunnel.  Reentrant so _convert's `with lock:` can
+        # call get() paths again.
+        self.lock = threading.RLock()  # serialize TPU work
 
     def get(self, mode: str, preset: str):
         key = f"{mode}:{preset}"
         if key in self._cache:
+            return self._cache[key]
+        with self.lock:
+            return self._build(mode, preset, key)
+
+    def _build(self, mode: str, preset: str, key: str):
+        if key in self._cache:  # built while we waited on the lock
             return self._cache[key]
         if mode == "v2":
             from seedvc_tpu.pipelines.convert_v2 import (
@@ -296,11 +307,17 @@ class Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", "0"))
             fields = parse_multipart(self.headers.get("Content-Type", ""),
                                      self.rfile.read(length))
-            if self.path == "/api/convert_stream":
-                self._convert_stream(fields)
-                return
-            wav_bytes, stats = self._convert(fields)
         except Exception as e:  # surfaced to the browser
+            self._send(400, f"{type(e).__name__}: {e}".encode(), "text/plain")
+            return
+        if self.path == "/api/convert_stream":
+            # handles its own errors: once chunked headers are out, a 400
+            # body would corrupt the chunk framing — it closes instead.
+            self._convert_stream(fields)
+            return
+        try:
+            wav_bytes, stats = self._convert(fields)
+        except Exception as e:
             self._send(400, f"{type(e).__name__}: {e}".encode(), "text/plain")
             return
         self._send(200, wav_bytes, "audio/wav", headers=[
@@ -406,17 +423,24 @@ class Handler(BaseHTTPRequestHandler):
             self.wfile.write(data)
             self.wfile.write(b"\r\n")
 
+        def send_stream_headers(sr: int):
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            write_chunk(wav_stream_header(sr))
+
+        # Chunk writes happen while holding the TPU lock (the generator owns
+        # device state between pieces); a stalled reader must not block every
+        # other request forever — bound socket writes.
+        self.connection.settimeout(30.0)
         headers_sent = False
         with self.registry.lock:
             try:
                 for sr, piece, stats in gen:
                     if not headers_sent:
-                        self.send_response(200)
-                        self.send_header("Content-Type", "audio/wav")
-                        self.send_header("Transfer-Encoding", "chunked")
-                        self.send_header("Cache-Control", "no-store")
-                        self.end_headers()
-                        write_chunk(wav_stream_header(sr))
+                        send_stream_headers(sr)
                         headers_sent = True
                     pcm = (np.clip(piece, -1, 1) * 32767).astype("<i2")
                     write_chunk(pcm.tobytes())
@@ -425,7 +449,16 @@ class Handler(BaseHTTPRequestHandler):
                     self._send(400, f"{type(e).__name__}: {e}".encode(),
                                "text/plain")
                     return
-                raise  # mid-stream: connection drops, client sees truncation
+                # mid-stream: a 400 body here would land inside the chunked
+                # framing — just drop the connection so the client sees a
+                # clean truncation.
+                self.close_connection = True
+                self.log_error("stream aborted: %s: %s", type(e).__name__, e)
+                return
+        if not headers_sent:
+            # valid request but zero pieces (e.g. sub-chunk-length source):
+            # a well-formed empty wav, not raw chunk bytes with no headers.
+            send_stream_headers(int(getattr(conv, "sr", 22050)))
         self.wfile.write(b"0\r\n\r\n")
 
 

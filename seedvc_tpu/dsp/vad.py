@@ -114,12 +114,17 @@ def split_segments(wave: np.ndarray, sr: int, *,
 
 def is_speech_block(block: np.ndarray, sr: int, *,
                     threshold_db: float = -60.0,
-                    flatness_max: float = 0.6) -> bool:
+                    flatness_max: float = 0.8) -> bool:
     """Single-block decision for the streaming gate (fsmn-vad substitute).
 
     Cheap dual check: mean energy above the absolute threshold AND the
     block's spectral flatness below ``flatness_max`` (rejects broadband
-    noise that a pure RMS gate passes).
+    noise that a pure RMS gate passes).  flatness_max is deliberately loose
+    (0.8): sustained unvoiced fricatives ('s', 'sh', 'f') are broadband too
+    (smoothed flatness ~0.5-0.7) and must not be gated to silence mid-word,
+    while white/pink noise still measures ~0.9+ after the periodogram
+    smoothing in :func:`frame_features`.  The streaming pipeline adds a
+    2-block hangover on top (pipelines/streaming.py).
     """
     rms_db = 10.0 * np.log10(float(np.mean(block ** 2)) + 1e-12)
     if rms_db < threshold_db:

@@ -142,6 +142,12 @@ def _conv_transpose1d(x, out_ch, kernel, stride, pad, name, parent):
                                 (kernel, in_ch, out_ch))
     bias = parent.param(f"{name}_bias", nn.initializers.zeros, (out_ch,))
     B, T = x.shape[0], x.shape[1]
+    # the phase overlap-add + crop below hard-codes torch's output length
+    # (T-1)*s + K - 2*pad == T*s; all shipped configs satisfy it (k = 2u or
+    # k = u).  Fail loudly rather than silently mis-slice on new configs.
+    assert kernel - 2 * pad == stride, (
+        f"_conv_transpose1d requires K - 2*pad == stride "
+        f"(got K={kernel}, pad={pad}, stride={stride})")
     taps = -(-kernel // stride)
     w = jnp.pad(kernel_param, ((0, taps * stride - kernel), (0, 0), (0, 0)))
     w = w.astype(x.dtype)

@@ -79,15 +79,21 @@ class HiFTResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from seedvc_tpu.nn.wavenet import DilatedConvAsMatmul
+
+        k = self.kernel_size
         for i, d in enumerate(self.dilations):
             h = Snake1(self.channels, name=f"act1_{i}")(x)
-            h = nn.Conv(self.channels, (self.kernel_size,), kernel_dilation=d,
-                        padding=[((self.kernel_size - 1) // 2 * d,) * 2],
-                        name=f"convs1_{i}")(h)
+            # Shifted-matmul convs (MXU path; param pytree matches nn.Conv —
+            # see models/bigvgan.py AMPBlock1 for the rationale/measurement).
+            pad = (k - 1) // 2 * d
+            h = jnp.pad(h, ((0, 0), (pad, pad), (0, 0)))
+            h = DilatedConvAsMatmul(self.channels, k, dilation=d,
+                                    name=f"convs1_{i}")(h)
             h = Snake1(self.channels, name=f"act2_{i}")(h)
-            h = nn.Conv(self.channels, (self.kernel_size,),
-                        padding=[((self.kernel_size - 1) // 2,) * 2],
-                        name=f"convs2_{i}")(h)
+            pad = (k - 1) // 2
+            h = jnp.pad(h, ((0, 0), (pad, pad), (0, 0)))
+            h = DilatedConvAsMatmul(self.channels, k, name=f"convs2_{i}")(h)
             x = x + h
         return x
 

@@ -87,7 +87,8 @@ class WavLMAttention(nn.Module):
     cfg: WavLMSVConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, position_bias: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, position_bias: jax.Array,
+                 key_bias: jax.Array | None = None) -> jax.Array:
         c = self.cfg
         B, T, _ = x.shape
         H = c.n_heads
@@ -112,6 +113,8 @@ class WavLMAttention(nn.Module):
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         logits = logits + gated_bias.astype(logits.dtype)
+        if key_bias is not None:  # (B, 1, 1, T) additive padding mask
+            logits = logits + key_bias.astype(logits.dtype)
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                           preferred_element_type=jnp.float32).astype(x.dtype)
@@ -126,9 +129,10 @@ class WavLMLayer(nn.Module):
     cfg: WavLMSVConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, position_bias: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, position_bias: jax.Array,
+                 key_bias: jax.Array | None = None) -> jax.Array:
         c = self.cfg
-        x = x + WavLMAttention(c, name="attention")(x, position_bias)
+        x = x + WavLMAttention(c, name="attention")(x, position_bias, key_bias)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(x)
         h = nn.Dense(c.ffn_dim, name="intermediate_dense")(x)
         h = nn.gelu(h, approximate=False)
@@ -142,12 +146,33 @@ class WavLMSV(nn.Module):
     cfg: WavLMSVConfig = WAVLM_BASE_PLUS_SV
 
     @nn.compact
-    def __call__(self, wave: jax.Array, normalize: bool = True) -> jax.Array:
+    def __call__(self, wave: jax.Array, normalize: bool = True,
+                 lengths: jax.Array | None = None) -> jax.Array:
+        """``lengths`` (B,) int32: true sample counts when ``wave`` is
+        zero-padded (HF ``attention_mask`` semantics — normalization,
+        attention and stats pooling all ignore padding, so a padded-bucket
+        forward matches the unpadded one; ``modeling_wavlm.py`` masked
+        path).  None = all samples valid."""
         c = self.cfg
+        smask = None
+        if lengths is not None:
+            smask = (jnp.arange(wave.shape[1])[None]
+                     < lengths[:, None]).astype(wave.dtype)
         if normalize:  # HF Wav2Vec2FeatureExtractor do_normalize
-            mean = wave.mean(axis=-1, keepdims=True)
-            var = wave.var(axis=-1, keepdims=True)
-            wave = (wave - mean) / jnp.sqrt(var + 1e-7)
+            if smask is None:
+                mean = wave.mean(axis=-1, keepdims=True)
+                var = wave.var(axis=-1, keepdims=True)
+                wave = (wave - mean) / jnp.sqrt(var + 1e-7)
+            else:
+                # normalize over the true length, pad region stays zero
+                # (HF normalizes BEFORE padding)
+                n = lengths.astype(wave.dtype)[:, None]
+                mean = (wave * smask).sum(-1, keepdims=True) / n
+                var = (((wave - mean) * smask) ** 2).sum(-1,
+                                                         keepdims=True) / n
+                wave = (wave - mean) / jnp.sqrt(var + 1e-7) * smask
+        elif smask is not None:
+            wave = wave * smask
 
         # conv feature encoder, "group" norm mode: GroupNorm(C, C) after
         # conv0 only, bias-free convs (modeling_wavlm.py:754-770)
@@ -163,6 +188,22 @@ class WavLMSV(nn.Module):
 
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="fp_layer_norm")(h)
         h = nn.Dense(c.d_model, name="fp_projection")(h)
+
+        feat_len = None
+        fmask = None
+        key_bias = None
+        if lengths is not None:
+            # conv feature-extractor output lengths
+            # (HF _get_feat_extract_output_lengths)
+            feat_len = lengths
+            for kk, s in zip(c.conv_kernels, c.conv_strides):
+                feat_len = (feat_len - kk) // s + 1
+            fmask = (jnp.arange(h.shape[1])[None]
+                     < feat_len[:, None])[..., None]
+            # HF zeroes padded hidden states once, before pos_conv
+            h = h * fmask.astype(h.dtype)
+            key_bias = jnp.where(fmask, 0.0, -1e30).transpose(0, 2, 1)[:, :,
+                                                                       None]
 
         # positional conv embedding (pad 64, drop-last via (64, 63))
         pos = nn.Conv(c.d_model, (c.pos_conv_kernel,),
@@ -183,7 +224,7 @@ class WavLMSV(nn.Module):
 
         hidden_states = [h]
         for i in range(c.n_layers):
-            h = WavLMLayer(c, name=f"layers_{i}")(h, position_bias)
+            h = WavLMLayer(c, name=f"layers_{i}")(h, position_bias, key_bias)
             hidden_states.append(h)
 
         # x-vector head: softmax-weighted layer sum (use_weighted_layer_sum)
@@ -200,9 +241,21 @@ class WavLMSV(nn.Module):
                         name=f"tdnn_{i}")(h)
             h = nn.relu(h)
 
-        # statistics pooling: mean + std (torch .std -> ddof=1)
-        mean = h.mean(axis=1)
-        var = h.var(axis=1, ddof=1)
+        # statistics pooling: mean + std (torch .std -> ddof=1); with
+        # lengths, over the first tdnn_len valid frames only (HF
+        # _get_tdnn_output_lengths masked pooling)
+        if feat_len is None:
+            mean = h.mean(axis=1)
+            var = h.var(axis=1, ddof=1)
+        else:
+            tdnn_len = feat_len - sum(
+                (kk - 1) * dil for kk, dil in zip(c.tdnn_kernels,
+                                                  c.tdnn_dilations))
+            tmask = (jnp.arange(h.shape[1])[None]
+                     < tdnn_len[:, None])[..., None].astype(h.dtype)
+            n = tdnn_len.astype(h.dtype)[:, None]
+            mean = (h * tmask).sum(axis=1) / n
+            var = (((h - mean[:, None]) * tmask) ** 2).sum(axis=1) / (n - 1.0)
         std = jnp.sqrt(var)
         stats = jnp.concatenate([mean, std], axis=-1)
         emb = nn.Dense(c.xvector_dim, name="feature_extractor")(stats)

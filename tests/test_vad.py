@@ -61,3 +61,16 @@ def test_vad_bridges_short_gaps():
     frame = int(0.05 * sr)
     inner = v[3: (len(a) + len(gap) + len(b)) // frame - 3]
     assert inner.all()
+
+
+def test_vad_passes_fricative_band_noise_block():
+    """Band-limited broadband energy (a sustained /s/-like fricative) must
+    NOT be gated as noise: flatness_max is loose (0.8) and only true
+    white/pink noise (smoothed flatness ~0.9+) is rejected."""
+    from scipy.signal import butter, lfilter
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    b, a = butter(4, [4000 / (sr / 2), 7000 / (sr / 2)], btype="band")
+    fric = lfilter(b, a, 0.3 * rng.standard_normal(sr // 4)).astype(np.float32)
+    assert is_speech_block(fric, sr, threshold_db=-60.0)

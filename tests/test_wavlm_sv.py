@@ -90,3 +90,39 @@ def test_wavlm_sv_forward_parity():
                              jnp.zeros((1, 8000)))["params"]
     chex_tree = jax.tree_util.tree_structure(p2)
     assert chex_tree == jax.tree_util.tree_structure(params)
+
+
+@pytest.mark.slow
+def test_wavlm_sv_padded_masked_parity():
+    """Zero-padded waves with ``lengths`` must match HF's attention_mask
+    path (normalization, attention and stats pooling all ignore padding) —
+    the eval harness pads to 5 s buckets (``apps/eval.py``)."""
+    import torch
+
+    tm = tiny_torch_wavlm()
+    params = convert_wavlm_sv(tm.state_dict(), n_layers=2)
+
+    rng = np.random.default_rng(1)
+    lens = [9000, 12000]
+    T = 16000
+    wave = np.zeros((2, T), np.float32)
+    mask = np.zeros((2, T), np.int64)
+    for i, ln in enumerate(lens):
+        wave[i, :ln] = (rng.standard_normal(ln) * 0.1).astype(np.float32)
+        mask[i, :ln] = 1
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(wave),
+                 attention_mask=torch.from_numpy(mask)).embeddings.numpy()
+
+    model = WavLMSV(jax_cfg())
+    ours = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(wave), normalize=False,
+        lengths=jnp.asarray(lens, jnp.int32)))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+    # and the masked padded forward equals the unpadded forward per sample
+    for i, ln in enumerate(lens):
+        solo = np.asarray(model.apply(
+            {"params": params}, jnp.asarray(wave[i:i + 1, :ln]),
+            normalize=False))
+        np.testing.assert_allclose(ours[i:i + 1], solo, atol=2e-4, rtol=1e-3)
