@@ -116,6 +116,7 @@ def euler_solve(
     cfg_rate: float = 0.7,
     t_scheduler: str = "linear",
     shard_axis: str | None = None,
+    seq_shard_axis: str | None = None,
     precompute_fn: Callable | None = None,
 ) -> jax.Array:
     """Euler CFG sampler. estimate_fn(x, prompt_x, x_lens, t, style, mu) -> v.
@@ -127,6 +128,14 @@ def euler_solve(
     (SURVEY §2.10: the duplicated cond/uncond batch is a natural 2x batch
     axis to split across devices; XLA inserts the collectives).  Requires a
     surrounding Mesh context when set.
+
+    ``seq_shard_axis``: mesh axis name to shard the TIME axis of the
+    (B, T, *) activations over (SURVEY §5.7's sequence-parallel stretch
+    goal, expressed TPU-natively: sharding constraints on the activations,
+    XLA's SPMD partitioner inserts the attention all-gathers and the
+    conv halo exchanges).  Composable with ``shard_axis`` (CFG branches x
+    sequence sub-blocks).  Requires ``use_flash_attention=False`` in the
+    DiT config — the custom Pallas kernel is not partitionable over T.
 
     ``precompute_fn(x, prompt_x, x_lens, style, mu) -> static_cond``: when
     given, the step-invariant conditioning (projected content + static half
@@ -149,11 +158,14 @@ def euler_solve(
     use_cfg = cfg_rate > 0
 
     def shard(a):
-        if shard_axis is None:
+        if shard_axis is None and seq_shard_axis is None:
             return a
         from jax.sharding import PartitionSpec as P
 
-        spec = P(shard_axis, *([None] * (a.ndim - 1)))
+        dims = [shard_axis] + [None] * (a.ndim - 1)
+        if a.ndim >= 3 and seq_shard_axis is not None:
+            dims[1] = seq_shard_axis  # (B, T, *): shard time
+        spec = P(*dims)
         return jax.lax.with_sharding_constraint(a, spec)
 
     if use_cfg:

@@ -45,6 +45,7 @@ def euler_solve_multicfg(
     cfg_rates: Sequence[float] = (0.5, 0.5),
     random_voice: bool = False,
     shard_axis: str | None = None,
+    seq_shard_axis: str | None = None,
     precompute_fn: Callable | None = None,
 ) -> jax.Array:
     """estimate_fn(x, prompt_x, x_lens, t, style, mu) -> velocity.
@@ -58,6 +59,11 @@ def euler_solve_multicfg(
     the v2 3-way stack [full / text-only / unconditional] is the natural
     batch axis to split across devices (SURVEY §2.10; mirrors v1
     ``euler_solve``'s ``shard_axis``).  Requires a surrounding Mesh context.
+
+    ``seq_shard_axis``: shard the TIME axis of the (B, T, *) activations
+    over a mesh axis (sequence parallelism; see v1 ``euler_solve`` — same
+    contract, composable with ``shard_axis``, needs the non-Pallas
+    attention path).
     """
     B, T, _ = mu.shape
     r0, r1 = float(cfg_rates[0]), float(cfg_rates[1])
@@ -94,11 +100,14 @@ def euler_solve_multicfg(
         weights = (1.0 + r0 + r1, -r1, -r0)
 
     def shard(a):
-        if shard_axis is None:
+        if shard_axis is None and seq_shard_axis is None:
             return a
         from jax.sharding import PartitionSpec as P
 
-        spec = P(shard_axis, *([None] * (a.ndim - 1)))
+        dims = [shard_axis] + [None] * (a.ndim - 1)
+        if a.ndim >= 3 and seq_shard_axis is not None:
+            dims[1] = seq_shard_axis  # (B, T, *): shard time
+        spec = P(*dims)
         return jax.lax.with_sharding_constraint(a, spec)
 
     n_br = len(branches)

@@ -74,10 +74,14 @@ class VoiceConverter:
         compute_dtype=None,
         seed: int = 0,
         cfg_shard_axis: Optional[str] = None,
+        seq_shard_axis: Optional[str] = None,
     ):
         # cfg_shard_axis: mesh axis to split the CFG-stacked (2x) sampler
         # batch over (run convert() inside ``jax.set_mesh(mesh)``); None =
         # single-device sampling.
+        # seq_shard_axis: mesh axis to shard the sampler's TIME axis over
+        # (sequence parallelism; needs the non-Pallas attention path — set
+        # use_flash_attention=False in the preset when using it).
         # The reference defaults to fp16 inference on GPU (inference.py
         # ``--fp16`` default True); the TPU analogue is bfloat16 for the
         # DiT/CFM compute path (vocoder + encoders stay fp32).  Pass
@@ -86,6 +90,7 @@ class VoiceConverter:
             compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
                              else jnp.float32)
         self.cfg_shard_axis = cfg_shard_axis
+        self.seq_shard_axis = seq_shard_axis
         self.cfg = cfg or get_preset("whisper_small_wavenet")
         sp = self.cfg.preprocess_params.spect_params
         self.sr = self.cfg.preprocess_params.sr
@@ -247,7 +252,9 @@ class VoiceConverter:
             mel_out = euler_solve(
                 estimate, key, cond_cat, total_len, prompt_mel, prompt_len,
                 style, n_mels=n_mels_, n_timesteps=n_steps, cfg_rate=cfg_rate,
-                shard_axis=self.cfg_shard_axis, precompute_fn=precompute)
+                shard_axis=self.cfg_shard_axis,
+                seq_shard_axis=self.seq_shard_axis,
+                precompute_fn=precompute)
             gen = jax.lax.dynamic_slice(
                 mel_out, (0, prompt_len, 0),
                 (1, W, n_mels_)).astype(jnp.float32)

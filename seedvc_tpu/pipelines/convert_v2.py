@@ -74,11 +74,15 @@ class VoiceConverterV2:
                    "dit", "ar", "vocoder")
 
     def __init__(self, cfg: V2Config = V2Config(), *, params: dict | None = None,
-                 seed: int = 0, cfg_shard_axis: str | None = None):
+                 seed: int = 0, cfg_shard_axis: str | None = None,
+                 seq_shard_axis: str | None = None):
         # cfg_shard_axis: mesh axis to split the multi-CFG-stacked sampler
         # batch over (run convert inside ``jax.set_mesh(mesh)``); None =
         # single-device sampling.  Mirrors v1 VoiceConverter.
+        # seq_shard_axis: shard the sampler's TIME axis (sequence
+        # parallelism; needs use_flash_attention=False in the DiT config).
         self.cfg_shard_axis = cfg_shard_axis
+        self.seq_shard_axis = seq_shard_axis
         self.cfg = cfg
         self.mel_fn = MelFrontend(cfg.sr, SpectConfig(n_mels=cfg.n_mels))
         key = jax.random.PRNGKey(seed)
@@ -203,6 +207,7 @@ class VoiceConverterV2:
                 estimate, key, cond, total_len, prompt_mel, prompt_len, style,
                 n_mels=cfg.n_mels, n_timesteps=n_steps, cfg_rates=(r0, r1),
                 random_voice=random_voice, shard_axis=self.cfg_shard_axis,
+                seq_shard_axis=self.seq_shard_axis,
                 precompute_fn=precompute)
             gen = jax.lax.dynamic_slice(
                 mel_out, (0, prompt_len, 0),

@@ -145,3 +145,58 @@ def test_v2_multicfg_sharded_sampler_matches_unsharded():
     with jax.set_mesh(mesh):
         sharded = np.asarray(jax.jit(lambda: run("data"))())
     np.testing.assert_allclose(base, sharded, atol=2e-5)
+
+
+def test_seq_sharded_sampler_matches_unsharded():
+    """euler_solve(seq_shard_axis=...) shards the TIME axis of the sampler
+    activations over the mesh (SURVEY §5.7's sequence-parallel stretch
+    goal): XLA inserts the attention all-gathers and WaveNet conv halo
+    exchanges; output matches the unsharded run.  Composed with the CFG
+    branch split (shard_axis) on the other mesh axis."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seedvc_tpu.core.config import (DiTConfig, LengthRegulatorConfig,
+                                        ModelParams, WavenetConfig)
+    from seedvc_tpu.models.cfm import CFM, euler_solve
+    from seedvc_tpu.parallel.mesh import make_mesh
+
+    # wavenet head so the k=5 convs exercise halo partitioning over T
+    mp = ModelParams(
+        length_regulator=LengthRegulatorConfig(channels=32, is_discrete=False,
+                                               in_channels=32,
+                                               sampling_ratios=(1,)),
+        DiT=DiTConfig(hidden_dim=32, num_heads=4, depth=2, in_channels=16,
+                      final_layer_type="wavenet", content_dim=32,
+                      long_skip_connection=False, uvit_skip_connection=False),
+        wavenet=WavenetConfig(hidden_dim=32, num_layers=2, kernel_size=5,
+                              p_dropout=0.0),
+    )
+    cfm = CFM(mp)
+    B, T, C, D = 1, 32, 16, 32
+    key = jax.random.PRNGKey(0)
+    mu = jax.random.normal(key, (B, T, D))
+    lens = jnp.full((B,), T, jnp.int32)
+    prompt = jnp.zeros((B, T, C))
+    style = jax.random.normal(key, (B, 192))
+    variables = cfm.init(key, jnp.zeros((B, T, C)), prompt, lens,
+                         jnp.zeros((B,)), style, mu, method=cfm.estimate)
+
+    def estimate(x, p, l, t, s, m):
+        return cfm.apply(variables, x, p, l, t, s, m, method=cfm.estimate)
+
+    def run(shard_axis, seq_shard_axis):
+        return euler_solve(estimate, key, mu, lens, prompt, 4, style,
+                           n_mels=C, n_timesteps=3, cfg_rate=0.7,
+                           shard_axis=shard_axis,
+                           seq_shard_axis=seq_shard_axis)
+
+    base = np.asarray(jax.jit(lambda: run(None, None))())
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    with jax.set_mesh(mesh):
+        seq_only = np.asarray(jax.jit(lambda: run(None, "model"))())
+        both = np.asarray(jax.jit(lambda: run("data", "model"))())
+    np.testing.assert_allclose(base, seq_only, atol=2e-5)
+    np.testing.assert_allclose(base, both, atol=2e-5)
