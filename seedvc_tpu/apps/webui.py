@@ -443,7 +443,8 @@ class Handler(BaseHTTPRequestHandler):
                         send_stream_headers(sr)
                         headers_sent = True
                     pcm = (np.clip(piece, -1, 1) * 32767).astype("<i2")
-                    write_chunk(pcm.tobytes())
+                    if pcm.size:  # a zero-length chunk IS the terminator
+                        write_chunk(pcm.tobytes())
             except Exception as e:
                 if not headers_sent:
                     self._send(400, f"{type(e).__name__}: {e}".encode(),

@@ -212,8 +212,12 @@ class FakeConverter:
         FakeConverter.calls.append(kw)
         return src_sr, 0.5 * src, {"rtf": 0.123}
 
+    sr = 22050
+
     def convert_with_streaming(self, src, src_sr, ref, ref_sr, **kw):
         FakeConverter.calls.append(kw)
+        if len(src) < 3:  # sub-chunk-length source: zero pieces
+            return
         n = len(src) // 3
         for i in range(3):
             yield src_sr, 0.5 * src[i * n: (i + 1) * n], {"rtf": 0.1}
@@ -417,3 +421,46 @@ def test_webui_convert_stream_chunked(webui_server):
     assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
     # header chunk + 3 generator pieces of 3000 samples each
     assert len(data) == 44 + 2 * 9000
+
+
+def test_webui_convert_stream_zero_pieces(webui_server):
+    """A valid request whose conversion yields no pieces must still return a
+    well-formed 200 chunked response containing just the wav header — not
+    raw chunk bytes with no status line."""
+    import http.client
+    from urllib.parse import urlparse
+
+    body, ctype = _multipart({
+        "mode": "vc",
+        "diffusion_steps": 5,
+        "source": ("s.wav", _wav_bytes(n=2)),  # sub-chunk-length source
+        "target": ("r.wav", _wav_bytes()),
+    })
+    u = urlparse(webui_server)
+    conn = http.client.HTTPConnection(u.hostname, u.port)
+    conn.request("POST", "/api/convert_stream", body=body,
+                 headers={"Content-Type": ctype})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.headers.get("Transfer-Encoding") == "chunked"
+    data = resp.read()
+    conn.close()
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    assert len(data) == 44  # header only, no PCM
+
+
+def test_webui_convert_stream_bad_request_before_headers(webui_server):
+    """A request that fails before any chunk is produced gets a clean 400
+    (not corrupted chunk framing)."""
+    body, ctype = _multipart({"mode": "vc"})  # missing source/target
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(webui_server)
+    conn = http.client.HTTPConnection(u.hostname, u.port)
+    conn.request("POST", "/api/convert_stream", body=body,
+                 headers={"Content-Type": ctype})
+    resp = conn.getresponse()
+    assert resp.status == 400
+    assert b"source" in resp.read()
+    conn.close()
