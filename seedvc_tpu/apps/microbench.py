@@ -281,6 +281,55 @@ def bench_ar_decode(B=1, n_tokens=128, max_seq=4096):
     }))
 
 
+
+def bench_train_step(B=4, T=512, Ts=256):
+    """Flagship (98M DiT + WaveNet head) fused fwd+bwd+adamw SPMD train
+    step at a fine-tuning shape (frozen-encoder features arrive
+    precomputed, as in train/step.py): steps/s and achieved TFLOP/s.
+    The reference publishes "~100 steps in ~2 min on a T4" for v1
+    fine-tuning (README.md:10) ~ 0.8 steps/s."""
+    from seedvc_tpu.core.config import get_preset
+    from seedvc_tpu.models.vc import VCModel
+    from seedvc_tpu.parallel.mesh import make_mesh
+    from seedvc_tpu.train.optim import make_optimizer
+    from seedvc_tpu.train.step import (init_state, make_sharded_train_step,
+                                       shard_state)
+
+    cfg = get_preset("whisper_small_wavenet")
+    mp = cfg.model_params
+    D_in = mp.length_regulator.in_channels
+    batch = {
+        "s_alt": jnp.zeros((B, Ts, D_in), jnp.float32),
+        "s_ori": jnp.zeros((B, Ts, D_in), jnp.float32),
+        "mels": jnp.zeros((B, T, mp.DiT.in_channels), jnp.float32),
+        "mel_lens": jnp.full((B,), T, jnp.int32),
+        "style": jnp.zeros((B, mp.style_encoder.dim), jnp.float32),
+    }
+    mesh = make_mesh(n_data=1, n_model=1)
+    model = VCModel(mp)
+    optimizer = make_optimizer(1e-4)
+    state = init_state(model, optimizer, jax.random.PRNGKey(0), batch)
+    state = shard_state(state, mesh)
+    step = make_sharded_train_step(model, optimizer, mesh)
+    key = jax.random.PRNGKey(1)
+    state, metrics = step(state, batch, key)
+    np.asarray(metrics["loss"])  # compile + warm
+    best = float("inf")
+    iters = 3
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, key)
+        np.asarray(metrics["loss"])
+        best = min(best, time.perf_counter() - t0)
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(state.params))
+    flops = 3 * 2 * n_params * B * T  # fwd + 2x bwd matmul estimate
+    row = report(f"train_step B{B} T{T} ({n_params/1e6:.0f}M)", best, flops)
+    print(json.dumps({"name": "train_steps_per_s",
+                      "value": round(1.0 / best, 2)}))
+    return row
+
+
 ALL = {
     "attention": bench_attention,
     "attention_xla": lambda: bench_attention(flash=False),
@@ -293,6 +342,7 @@ ALL = {
     "serving": bench_serving,
     "serving_b1": lambda: bench_serving(B=1),
     "serving_b2": lambda: bench_serving(B=2),
+    "train_step": bench_train_step,
 }
 
 

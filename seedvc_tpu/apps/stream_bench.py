@@ -46,8 +46,12 @@ def main(argv=None):
             ffn_dim=4 * cfg.model_params.length_regulator.in_channels)
 
     conv = VoiceConverter(cfg, whisper_cfg=wcfg)
+    # VAD gate OFF: the bench drives white-noise blocks, which the
+    # dual-feature VAD correctly rejects as non-speech — with the gate on
+    # it would time the skip path, not the conversion path.
     scfg = StreamConfig(block_time=args.block_time,
-                        diffusion_steps=args.steps)
+                        diffusion_steps=args.steps,
+                        vad_threshold_db=-10000.0)
     stream = StreamingConverter(conv, scfg)
 
     rng = np.random.default_rng(0)

@@ -130,12 +130,13 @@ def test_v2_multicfg_sharded_sampler_matches_unsharded():
     def estimate(x, p, l, t, s, m):
         return dit.apply(variables, x, p, l, t, s, m)
 
-    def run(shard_axis):
+    def run(shard_axis, seq_shard_axis=None):
         # both rates nonzero -> the full 3-way MegaTTS3 stack
         return euler_solve_multicfg(estimate, key, mu, lens, prompt, 4,
                                     style, n_mels=C, n_timesteps=3,
                                     cfg_rates=(0.6, 0.4),
-                                    shard_axis=shard_axis)
+                                    shard_axis=shard_axis,
+                                    seq_shard_axis=seq_shard_axis)
 
     base = np.asarray(jax.jit(lambda: run(None))())
 
@@ -144,7 +145,9 @@ def test_v2_multicfg_sharded_sampler_matches_unsharded():
     mesh = make_mesh(n_data=2, n_model=4)
     with jax.set_mesh(mesh):
         sharded = np.asarray(jax.jit(lambda: run("data"))())
+        seq = np.asarray(jax.jit(lambda: run("data", "model"))())
     np.testing.assert_allclose(base, sharded, atol=2e-5)
+    np.testing.assert_allclose(base, seq, atol=2e-5)
 
 
 def test_seq_sharded_sampler_matches_unsharded():
