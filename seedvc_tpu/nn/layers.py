@@ -139,14 +139,15 @@ class Attention(nn.Module):
                 and jax.default_backend() == "tpu"
                 and self.flash_impl == "seedvc"):
             # Fused path: RoPE applied in-kernel in fp32 — the out-of-kernel
-            # fp32 stack/reshape RoPE relayouts never touch HBM.
-            from seedvc_tpu.ops.pallas.attention import dit_attention_fused
+            # fp32 stack/reshape RoPE relayouts never touch HBM.  The _diff
+            # wrapper adds a recompute backward so the same path trains.
+            from seedvc_tpu.ops.pallas.attention import dit_attention_fused_diff
 
             lens = (jnp.sum(mask[:, 0, -1, :].astype(jnp.int32), axis=-1)
                     if mask is not None else None)
             bq = self.flash_block_q if T % self.flash_block_q == 0 else 512
             cos, sin = rope_full
-            out = dit_attention_fused(
+            out = dit_attention_fused_diff(
                 q.reshape(B, T, self.n_head, hd).transpose(0, 2, 1, 3),
                 k.reshape(B, T, self.n_head, hd).transpose(0, 2, 1, 3),
                 v.reshape(B, T, self.n_head, hd).transpose(0, 2, 1, 3),
@@ -172,7 +173,7 @@ class Attention(nn.Module):
         if (self.use_flash and T % 512 == 0
                 and jax.default_backend() == "tpu"
                 and self.flash_impl == "seedvc"):
-            from seedvc_tpu.ops.pallas.attention import dit_attention
+            from seedvc_tpu.ops.pallas.attention import dit_attention_diff
 
             if mask is not None:
                 # prefix-valid key-padding mask -> per-sample lengths
@@ -182,7 +183,7 @@ class Attention(nn.Module):
             # honor the tuned flash_block_q when it divides T (the custom
             # kernel requires exact tiling); otherwise fall back to 512.
             bq = self.flash_block_q if T % self.flash_block_q == 0 else 512
-            out = dit_attention(
+            out = dit_attention_diff(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), lens, block_q=bq)
             out = out.transpose(0, 2, 1, 3).astype(x.dtype)

@@ -276,3 +276,86 @@ def dit_attention_reference(q, k, v, lens=None):
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p,
                       v.astype(jnp.float32)).astype(q.dtype)
+
+
+def _pair_swap(x: jax.Array) -> jax.Array:
+    """Swap interleaved pairs on the last axis: (x0,x1,x2,x3) ->
+    (x1,x0,x3,x2) — the companion of the signed sin cache (see ``_rope``)."""
+    x2 = x.reshape(*x.shape[:-1], -1, 2)
+    return jnp.stack((x2[..., 1], x2[..., 0]), axis=-1).reshape(x.shape)
+
+
+def dit_attention_fused_reference(q, k, v, cos, sin, lens=None):
+    """jnp reference of the fused kernel's math (RoPE via the (T, d)
+    cos/signed-sin caches, then attention); used for parity tests and as
+    the recompute target of the custom-vjp backward."""
+
+    def rope(x):
+        xf = x.astype(jnp.float32)
+        return xf * cos[None, None] + _pair_swap(xf) * sin[None, None]
+
+    return dit_attention_reference(rope(q).astype(q.dtype),
+                                   rope(k).astype(k.dtype), v, lens)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrappers: Pallas kernels carry no autodiff rule, so training
+# through the fused attention would fail at trace time (observed: jvp
+# AssertionError in the v1 train step with a flash preset).  Forward runs the
+# kernel; backward recomputes via the jnp reference (standard
+# kernel-forward / XLA-backward pattern — gradients are the reference math's).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _fused_diff(block_q: int):
+    @jax.custom_vjp
+    def f(q, k, v, cos, sin, lens):
+        return dit_attention_fused(q, k, v, cos, sin, lens, block_q=block_q)
+
+    def fwd(q, k, v, cos, sin, lens):
+        return (dit_attention_fused(q, k, v, cos, sin, lens,
+                                    block_q=block_q),
+                (q, k, v, cos, sin, lens))
+
+    def bwd(res, g):
+        q, k, v, cos, sin, lens = res
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: dit_attention_fused_reference(
+                q_, k_, v_, cos, sin, lens), q, k, v)
+        dq, dk, dv = vjp(g.astype(q.dtype))
+        return dq, dk, dv, None, None, None
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def dit_attention_fused_diff(q, k, v, cos, sin, lens=None, *,
+                             block_q: int = 512):
+    """``dit_attention_fused`` with a recompute backward (trainable)."""
+    return _fused_diff(block_q)(q, k, v, cos, sin, lens)
+
+
+@functools.lru_cache(maxsize=None)
+def _plain_diff(block_q: int):
+    @jax.custom_vjp
+    def f(q, k, v, lens):
+        return dit_attention(q, k, v, lens, block_q=block_q)
+
+    def fwd(q, k, v, lens):
+        return dit_attention(q, k, v, lens, block_q=block_q), (q, k, v, lens)
+
+    def bwd(res, g):
+        q, k, v, lens = res
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: dit_attention_reference(q_, k_, v_, lens),
+            q, k, v)
+        dq, dk, dv = vjp(g.astype(q.dtype))
+        return dq, dk, dv, None
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def dit_attention_diff(q, k, v, lens=None, *, block_q: int = 512):
+    """``dit_attention`` with a recompute backward (trainable)."""
+    return _plain_diff(block_q)(q, k, v, lens)

@@ -109,3 +109,54 @@ def test_dit_attention_fused_masked_ignores_padded_keys():
     v2 = v.at[:, :, 128:].set(-99.0)
     out2 = dit_attention_fused(q, k2, v2, cos, sin, lens, block_q=128)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_fused_reference_matches_kernel_forward():
+    rng = np.random.default_rng(5)
+    B, H, T, d = 1, 2, 256, 64
+    from seedvc_tpu.ops.pallas.attention import dit_attention_fused_reference
+
+    q, k, v = (jnp.asarray(rng.standard_normal((B, H, T, d)), jnp.float32)
+               for _ in range(3))
+    cos, sin = (jnp.asarray(a) for a in rope_full_cache(T, d))
+    lens = jnp.array([200])
+    out = dit_attention_fused(q, k, v, cos, sin, lens, block_q=128)
+    ref = dit_attention_fused_reference(q, k, v, cos, sin, lens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_attention_is_differentiable():
+    """Training through the kernel path (custom_vjp recompute backward):
+    gradients match differentiating the jnp reference."""
+    rng = np.random.default_rng(6)
+    B, H, T, d = 1, 2, 256, 64
+    from seedvc_tpu.ops.pallas.attention import (
+        dit_attention_diff, dit_attention_fused_diff,
+        dit_attention_fused_reference)
+
+    q, k, v = (jnp.asarray(rng.standard_normal((B, H, T, d)), jnp.float32)
+               for _ in range(3))
+    cos, sin = (jnp.asarray(a) for a in rope_full_cache(T, d))
+    lens = jnp.array([200])
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(dit_attention_fused_diff(q, k, v, cos, sin, lens,
+                                                block_q=128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(dit_attention_fused_reference(q, k, v, cos, sin,
+                                                     lens) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+    # plain (post-RoPE) kernel too
+    def loss_plain(q, k, v):
+        return jnp.sum(dit_attention_diff(q, k, v, lens, block_q=128) ** 2)
+
+    g = jax.grad(loss_plain, argnums=(0, 1, 2))(q, k, v)
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)
