@@ -282,7 +282,7 @@ def bench_ar_decode(B=1, n_tokens=128, max_seq=4096):
 
 
 
-def bench_train_step(B=4, T=512, Ts=256):
+def bench_train_step(B=4, T=512, Ts=256, compute_dtype=None):
     """Flagship (98M DiT + WaveNet head) fused fwd+bwd+adamw SPMD train
     step at a fine-tuning shape (frozen-encoder features arrive
     precomputed, as in train/step.py): steps/s and achieved TFLOP/s.
@@ -310,7 +310,8 @@ def bench_train_step(B=4, T=512, Ts=256):
     optimizer = make_optimizer(1e-4)
     state = init_state(model, optimizer, jax.random.PRNGKey(0), batch)
     state = shard_state(state, mesh)
-    step = make_sharded_train_step(model, optimizer, mesh)
+    step = make_sharded_train_step(model, optimizer, mesh,
+                                   compute_dtype=compute_dtype)
     key = jax.random.PRNGKey(1)
     state, metrics = step(state, batch, key)
     np.asarray(metrics["loss"])  # compile + warm
@@ -324,8 +325,10 @@ def bench_train_step(B=4, T=512, Ts=256):
     n_params = sum(int(np.prod(l.shape))
                    for l in jax.tree_util.tree_leaves(state.params))
     flops = 3 * 2 * n_params * B * T  # fwd + 2x bwd matmul estimate
-    row = report(f"train_step B{B} T{T} ({n_params/1e6:.0f}M)", best, flops)
-    print(json.dumps({"name": "train_steps_per_s",
+    tag = "" if compute_dtype is None else "_bf16"
+    row = report(f"train_step{tag} B{B} T{T} ({n_params/1e6:.0f}M)", best,
+                 flops)
+    print(json.dumps({"name": f"train_steps_per_s{tag}",
                       "value": round(1.0 / best, 2)}))
     return row
 
@@ -343,6 +346,7 @@ ALL = {
     "serving_b1": lambda: bench_serving(B=1),
     "serving_b2": lambda: bench_serving(B=2),
     "train_step": bench_train_step,
+    "train_step_bf16": lambda: bench_train_step(compute_dtype=jnp.bfloat16),
 }
 
 

@@ -63,17 +63,32 @@ def make_sharded_train_step(model: VCModel,
                             mesh: Mesh,
                             teacher_params=None,
                             distill_weight: float = 0.5,
-                            weight_ema_decay: float = 0.0):
+                            weight_ema_decay: float = 0.0,
+                            compute_dtype=None):
     """Build step_fn(state, batch, rng) -> (state, metrics), jitted SPMD.
 
     With ``teacher_params``, adds the reference's output-level distillation
     loss (``train.py:871-887``): 0.5 * MSE between the student's and the
     frozen teacher's estimator outputs on the same noised inputs (identical
-    rngs -> identical t/noise/prompt draws)."""
+    rngs -> identical t/noise/prompt draws).
+
+    ``compute_dtype=jnp.bfloat16`` runs the model compute in bf16 with f32
+    master weights and f32 loss/grad accumulation — the TPU analogue of the
+    reference's fp16 autocast (``train_v2.py:700``); flax layers take their
+    computation dtype from the activations, and the CFM loss reduction is
+    f32 regardless (``models/cfm.py``)."""
 
     replicated = NamedSharding(mesh, P())
 
+    def cast(batch):
+        if compute_dtype is None:
+            return batch
+        return {k: (v.astype(compute_dtype)
+                    if jnp.issubdtype(v.dtype, jnp.floating) else v)
+                for k, v in batch.items()}
+
     def loss_fn(params, batch, rng):
+        batch = cast(batch)
         keys = jax.random.split(rng, 4)
         rngs = {"prompt": keys[0], "t": keys[1], "noise": keys[2],
                 "drop": keys[3]}

@@ -68,6 +68,9 @@ class TrainerConfig:
     optimizer_kind: str = "single"
     val_batches: int = 4          # batches averaged per validation
     early_stop_patience: int = 10  # validations w/o improvement -> stop
+    # "bfloat16": bf16 model compute with f32 master weights (the TPU
+    # analogue of the reference's fp16 autocast, train_v2.py:700)
+    compute_dtype: str = "float32"
     perturb_min: float = 0.85
     perturb_max: float = 1.15
     seed: int = 1234
@@ -147,7 +150,9 @@ class Trainer:
         self.step_fn = make_sharded_train_step(
             self.model, self.optimizer, self.mesh,
             teacher_params=teacher_params,
-            weight_ema_decay=tcfg.weight_ema_decay)
+            weight_ema_decay=tcfg.weight_ema_decay,
+            compute_dtype=(jnp.bfloat16
+                           if tcfg.compute_dtype == "bfloat16" else None))
         from seedvc_tpu.train.step import make_sharded_eval_step
 
         self.eval_fn = make_sharded_eval_step(self.model, self.mesh)

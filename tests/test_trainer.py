@@ -317,3 +317,25 @@ def test_trainer_ema_restore_from_non_ema_ckpt(wav_dir, tmp_path):
     # and it keeps training with EMA active
     t1.train(ds)
     assert t1.state.ema_params is not None
+
+
+def test_trainer_bf16_compute(wav_dir, tmp_path):
+    """compute_dtype='bfloat16': bf16 model compute with f32 master weights
+    (the TPU analogue of the reference's fp16 autocast, train_v2.py:700) —
+    the step runs, loss is finite, and params/opt-state stay f32."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg()
+    wcfg = WhisperEncoderConfig(d_model=32, n_layers=1, n_heads=4, ffn_dim=64)
+    tcfg = TrainerConfig(
+        data_path=wav_dir, run_dir=str(tmp_path / "run"), batch_size=2,
+        epochs=1, max_steps=2, log_interval=1, save_interval=100,
+        mel_bucket=64, compute_dtype="bfloat16")
+    trainer = Trainer(cfg, tcfg, whisper_cfg=wcfg, n_model=4)
+    ds = FTDataset(wav_dir, 22050, batch_size=2)
+    final = trainer.train(ds)
+    assert final == 2
+    assert trainer.ema_loss is not None and np.isfinite(trainer.ema_loss)
+    for leaf in jax.tree_util.tree_leaves(trainer.state.params):
+        assert leaf.dtype == jnp.float32
