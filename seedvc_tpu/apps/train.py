@@ -22,6 +22,12 @@ def main(argv=None):
     ap.add_argument("--log-interval", type=int, default=10)
     ap.add_argument("--n-model", type=int, default=1,
                     help="tensor-parallel width of the device mesh")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="scatter params/optimizer moments over the data "
+                         "axis (ZeRO-3 analogue; composes with --n-model)")
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="bfloat16 = bf16 model compute, f32 master weights")
     args = ap.parse_args(argv)
 
     from seedvc_tpu.core.config import get_preset
@@ -38,6 +44,8 @@ def main(argv=None):
         base_lr=args.base_lr,
         save_interval=args.save_interval,
         log_interval=args.log_interval,
+        fsdp=args.fsdp,
+        compute_dtype=args.compute_dtype,
     )
     trainer = Trainer(cfg, tcfg, n_model=args.n_model)
     if trainer.restore_latest():

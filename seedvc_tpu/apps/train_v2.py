@@ -37,6 +37,9 @@ def main(argv=None):
                          "(ssl/narrow/wide/campplus)")
     ap.add_argument("--n-model", type=int, default=1,
                     help="tensor-parallel width of the device mesh")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="scatter params/optimizer moments over the data "
+                         "axis (ZeRO-3 analogue; composes with --n-model)")
     args = ap.parse_args(argv)
 
     from seedvc_tpu.pipelines.convert_v2 import V2Config
@@ -64,6 +67,7 @@ def main(argv=None):
         run_dir=f"./runs/{args.run_name}",
         save_interval=args.save_interval,
         log_interval=args.log_interval,
+        fsdp=args.fsdp,
     )
     trainer = TrainerV2(vcfg, tcfg, frozen_params=frozen or None,
                         n_model=args.n_model)

@@ -43,9 +43,40 @@ def _spec_for(path: str, rules: Sequence[tuple[str, P]]) -> P:
     return P()  # replicated
 
 
+def _add_fsdp_axis(spec: P, shape: tuple[int, ...], mesh: Mesh,
+                   axis: str, min_elems: int) -> P:
+    """ZeRO-3/FSDP-style augmentation of a (possibly TP-sharded) spec: shard
+    the largest still-unsharded dimension of a large-enough parameter over
+    ``axis``.  Parameters and optimizer moments then live scattered over the
+    data axis; XLA's SPMD partitioner inserts the weight all-gathers at use
+    and turns the gradient all-reduce into a reduce-scatter — the TPU-native
+    expression of FSDP (no wrapper modules, no hooks)."""
+    size = 1
+    for d in shape:
+        size *= d
+    if size < min_elems or axis not in mesh.shape:
+        return spec
+    n = mesh.shape[axis]
+    dims = list(spec) + [None] * (len(shape) - len(spec))
+    best = -1
+    for i, (d, s) in enumerate(zip(shape, dims)):
+        if s is None and d % n == 0 and (best < 0 or d > shape[best]):
+            best = i
+    if best < 0:
+        return spec
+    dims[best] = axis
+    return P(*dims)
+
+
 def logical_to_sharding(params, mesh: Mesh,
-                        rules: Sequence[tuple[str, P]] = DIT_RULES):
-    """Return a pytree of NamedShardings matching `params`' structure."""
+                        rules: Sequence[tuple[str, P]] = DIT_RULES,
+                        fsdp_axis: str | None = None,
+                        fsdp_min_elems: int = 65536):
+    """Return a pytree of NamedShardings matching `params`' structure.
+
+    ``fsdp_axis``: additionally shard every parameter >= ``fsdp_min_elems``
+    elements over this mesh axis (see ``_add_fsdp_axis``).  Composes with
+    the TP rules: a QKV kernel can be (data, model)-sharded at once."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def path_str(kp):
@@ -71,6 +102,9 @@ def logical_to_sharding(params, mesh: Mesh,
                     ok = False
             if not ok:
                 spec = P()
+        if fsdp_axis is not None and hasattr(leaf, "shape"):
+            spec = _add_fsdp_axis(spec, leaf.shape, mesh, fsdp_axis,
+                                  fsdp_min_elems)
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(to_sharding, params)

@@ -46,15 +46,25 @@ def init_state(model: VCModel, optimizer: optax.GradientTransformation,
                       step=jnp.zeros((), jnp.int32))
 
 
-def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Place a TrainState onto the mesh with TP shardings."""
+def shard_state(state: TrainState, mesh: Mesh,
+                fsdp: bool = False, fsdp_min_elems: int = 65536) -> TrainState:
+    """Place a TrainState onto the mesh with TP (and optionally FSDP)
+    shardings.  ``fsdp=True`` scatters params / AdamW moments / EMA over the
+    ``data`` axis (ZeRO-3 analogue; ``parallel/sharding.py``) — XLA inserts
+    the weight all-gathers and emits reduce-scatter for the gradients."""
+    fsdp_axis = AXES.data if fsdp else None
+
+    def place(tree):
+        return jax.device_put(
+            tree, logical_to_sharding(tree, mesh, fsdp_axis=fsdp_axis,
+                                      fsdp_min_elems=fsdp_min_elems))
+
     return TrainState(
-        params=jax.device_put(state.params, logical_to_sharding(state.params, mesh)),
-        opt_state=jax.device_put(state.opt_state,
-                                 logical_to_sharding(state.opt_state, mesh)),
+        params=place(state.params),
+        opt_state=place(state.opt_state),
         step=jax.device_put(state.step, NamedSharding(mesh, P())),
-        ema_params=(None if state.ema_params is None else jax.device_put(
-            state.ema_params, logical_to_sharding(state.ema_params, mesh))),
+        ema_params=(None if state.ema_params is None
+                    else place(state.ema_params)),
     )
 
 

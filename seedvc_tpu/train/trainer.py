@@ -71,6 +71,10 @@ class TrainerConfig:
     # "bfloat16": bf16 model compute with f32 master weights (the TPU
     # analogue of the reference's fp16 autocast, train_v2.py:700)
     compute_dtype: str = "float32"
+    # ZeRO-3/FSDP analogue: scatter params + AdamW moments + EMA over the
+    # data axis (parallel/sharding.py::_add_fsdp_axis); XLA all-gathers
+    # weights at use and reduce-scatters gradients.  Composes with TP.
+    fsdp: bool = False
     perturb_min: float = 0.85
     perturb_max: float = 1.15
     seed: int = 1234
@@ -146,7 +150,7 @@ class Trainer:
             # are donated by the jitted step)
             state = state._replace(ema_params=jax.tree_util.tree_map(
                 lambda x: jnp.array(x, copy=True), state.params))
-        self.state = shard_state(state, self.mesh)
+        self.state = shard_state(state, self.mesh, fsdp=tcfg.fsdp)
         self.step_fn = make_sharded_train_step(
             self.model, self.optimizer, self.mesh,
             teacher_params=teacher_params,

@@ -70,6 +70,9 @@ class TrainerV2Config:
     validation_interval: int = 0  # steps between validate() (0 = off)
     val_batches: int = 4          # batches averaged per validation
     early_stop_patience: int = 10  # validations w/o improvement -> stop
+    # ZeRO-3/FSDP analogue: scatter params + optimizer moments over the data
+    # axis (parallel/sharding.py::_add_fsdp_axis); composes with TP.
+    fsdp: bool = False
 
 
 class V2TrainState(NamedTuple):
@@ -159,11 +162,14 @@ class TrainerV2:
                                             for k in params}))
         state = V2TrainState(params, self.optimizer.init(params),
                              jnp.zeros((), jnp.int32))
+        fsdp_axis = AXES.data if tcfg.fsdp else None
         self.state = V2TrainState(
             jax.device_put(state.params,
-                           logical_to_sharding(state.params, self.mesh)),
+                           logical_to_sharding(state.params, self.mesh,
+                                               fsdp_axis=fsdp_axis)),
             jax.device_put(state.opt_state,
-                           logical_to_sharding(state.opt_state, self.mesh)),
+                           logical_to_sharding(state.opt_state, self.mesh,
+                                               fsdp_axis=fsdp_axis)),
             state.step)
 
         self._jit_ssl = jax.jit(lambda p, w: self.ssl.apply({"params": p}, w))

@@ -33,6 +33,85 @@ def test_param_sharding_rules():
     assert sh["other"]["kernel"].spec == jax.sharding.PartitionSpec()
 
 
+def test_fsdp_spec_augmentation():
+    """fsdp_axis shards the largest unsharded dim of large params over the
+    data axis, composing with the TP rules (ZeRO-3 analogue)."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = {
+        "layers_0": {
+            "attention": {"wqkv": {"kernel": jnp.zeros((64, 192))}},
+            "feed_forward": {"w2": {"kernel": jnp.zeros((256, 64))}},
+        },
+        "embed": {"kernel": jnp.zeros((128, 64))},
+        "tiny": {"bias": jnp.zeros((64,))},
+    }
+    sh = logical_to_sharding(params, mesh, fsdp_axis="data",
+                             fsdp_min_elems=1024)
+    # TP out-dim split stays; FSDP takes the remaining (in) dim
+    assert sh["layers_0"]["attention"]["wqkv"]["kernel"].spec == P("data", "model")
+    # row-parallel w2: model on dim 0, data goes to dim 1
+    assert sh["layers_0"]["feed_forward"]["w2"]["kernel"].spec == P("model", "data")
+    # unmatched large param: largest divisible dim sharded
+    assert sh["embed"]["kernel"].spec == P("data", None)
+    # small params stay replicated
+    assert sh["tiny"]["bias"].spec == P()
+
+
+def test_fsdp_train_step_matches_replicated():
+    """One fully-sharded (FSDP) train step produces the same new params as
+    the replicated-weights step: the sharding is a pure layout choice, XLA
+    inserts the weight all-gathers / gradient reduce-scatters."""
+    import optax
+
+    from seedvc_tpu.core.config import (DiTConfig, LengthRegulatorConfig,
+                                        ModelParams)
+    from seedvc_tpu.models.vc import VCModel
+    from seedvc_tpu.train.step import (init_state, make_sharded_train_step,
+                                       shard_state)
+
+    mp = ModelParams(
+        length_regulator=LengthRegulatorConfig(channels=16, is_discrete=False,
+                                               in_channels=32,
+                                               sampling_ratios=(1,)),
+        DiT=DiTConfig(hidden_dim=32, num_heads=4, depth=2, in_channels=80,
+                      final_layer_type="mlp", content_dim=16,
+                      long_skip_connection=False, uvit_skip_connection=False),
+    )
+    model = VCModel(mp)
+    optimizer = optax.adamw(1e-3)
+    rng = jax.random.PRNGKey(0)
+    B, Ts, Tm = 4, 8, 16
+    batch = {
+        "s_alt": jax.random.normal(rng, (B, Ts, 32)),
+        "s_ori": jax.random.normal(jax.random.PRNGKey(1), (B, Ts, 32)),
+        "mels": jax.random.normal(jax.random.PRNGKey(2), (B, Tm, 80)),
+        "mel_lens": jnp.full((B,), Tm, jnp.int32),
+        "style": jax.random.normal(jax.random.PRNGKey(3), (B, 192)),
+    }
+    mesh = make_mesh(n_data=4, n_model=2)
+    outs = {}
+    for fsdp in (False, True):
+        # fresh state per run: the jitted step donates its input state
+        state = shard_state(init_state(model, optimizer, rng, batch), mesh,
+                            fsdp=fsdp, fsdp_min_elems=512)
+        if fsdp:
+            # the FSDP placement must actually scatter something
+            specs = jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(lambda a: "data" in str(a.sharding.spec),
+                                       state.params))
+            assert any(specs)
+        step = make_sharded_train_step(model, optimizer, mesh)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        assert np.isfinite(float(metrics["loss"]))
+        outs[fsdp] = jax.tree_util.tree_map(np.asarray, new_state.params)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-5),
+        outs[False], outs[True])
+
+
 def test_dryrun_multichip():
     import __graft_entry__
 
