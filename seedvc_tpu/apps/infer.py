@@ -33,6 +33,11 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--profile", action="store_true",
                     help="print per-stage device timings (adds host syncs)")
+    ap.add_argument("--compute-dtype", default=None,
+                    choices=("bfloat16", "float32"),
+                    help="sampler + content-encoder compute dtype (default: "
+                         "bfloat16 on TPU, float32 elsewhere — the analogue "
+                         "of the reference's --fp16 flag)")
     args = ap.parse_args(argv)
 
     from seedvc_tpu.apps.audio_io import load_wav, save_wav
@@ -52,6 +57,12 @@ def main(argv=None):
         print("[warn] no --checkpoint-dir: running with RANDOM weights "
               "(smoke/perf mode)", file=sys.stderr)
 
+    if args.compute_dtype:
+        import jax.numpy as jnp
+
+        params["compute_dtype"] = (jnp.bfloat16
+                                   if args.compute_dtype == "bfloat16"
+                                   else jnp.float32)
     converter = VoiceConverter(cfg, seed=args.seed, **params)
 
     if args.source_dir:

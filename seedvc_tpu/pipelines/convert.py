@@ -84,8 +84,9 @@ class VoiceConverter:
         # use_flash_attention=False in the preset when using it).
         # The reference defaults to fp16 inference on GPU (inference.py
         # ``--fp16`` default True); the TPU analogue is bfloat16 for the
-        # DiT/CFM compute path (vocoder + encoders stay fp32).  Pass
-        # jnp.float32 explicitly for full-precision sampling.
+        # DiT/CFM compute path and the frozen content encoder (vocoder and
+        # style encoder stay fp32).  Pass jnp.float32 explicitly for
+        # full-precision end-to-end.
         if compute_dtype is None:
             compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
                              else jnp.float32)
@@ -194,15 +195,34 @@ class VoiceConverter:
         context = self.context
         source_window = self.source_window
 
+        # The frozen content encoder runs in compute_dtype (the reference
+        # defaults Whisper/XLSR to fp16 on GPU — ``inference.py:145-236``;
+        # bf16 is the TPU analogue, with MORE exponent range).  Features are
+        # returned as f32 for the regulator; softmax inside the encoder is
+        # f32 regardless (``models/whisper.py:53``).
+        ecd = self.compute_dtype
+
+        def _enc_cast(params, x):
+            if ecd == jnp.float32:
+                return params, x
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(ecd) if a.dtype == jnp.float32 else a,
+                params)
+            return params, x.astype(ecd)
+
         if self.tokenizer_type in ("xlsr", "cnhubert"):
             @jax.jit
             def whisper_fn(params, wave_16k):
-                return whisper.apply({"params": params}, wave_16k)
+                params, wave_16k = _enc_cast(params, wave_16k)
+                return whisper.apply(
+                    {"params": params}, wave_16k).astype(jnp.float32)
         else:
             @jax.jit
             def whisper_fn(params, wave_16k):
                 mel = whisper_log_mel(wave_16k)
-                return whisper.apply({"params": params}, mel)
+                params, mel = _enc_cast(params, mel)
+                return whisper.apply(
+                    {"params": params}, mel).astype(jnp.float32)
 
         @jax.jit
         def style_fn(params, wave_16k):

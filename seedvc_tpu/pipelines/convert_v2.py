@@ -147,14 +147,29 @@ class VoiceConverterV2:
     # ------------------------------------------------------------------
     def _build_fns(self):
         cfg = self.cfg
+        # Frozen-encoder compute dtype: the reference runs the HuBERT-large
+        # SSL trunk in fp16 by default (``inference_v2.py``/``train_v2.py``
+        # fp16 ladders); bf16 is the TPU analogue.  BSQ sign-quantization is
+        # threshold-based, so borderline bit flips match the reference's
+        # fp16 behaviour.  Indices are integral either way.
+        ecd = (jnp.bfloat16 if jax.default_backend() == "tpu"
+               else jnp.float32)
+
+        def _enc_cast(tree):
+            if ecd == jnp.float32:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(ecd) if a.dtype == jnp.float32 else a,
+                tree)
 
         @jax.jit
         def content_fn(p_ssl, p_n, p_w, wave16):
             # SSL + both quantizers in ONE dispatch (the narrow/wide
             # extractors share the SSL forward, vc_wrapper.py:94)
-            feats = self.ssl.apply({"params": p_ssl}, wave16)
-            _, idx_n, _ = self.narrow.apply({"params": p_n}, feats)
-            _, idx_w, _ = self.wide.apply({"params": p_w}, feats)
+            feats = self.ssl.apply({"params": _enc_cast(p_ssl)},
+                                   wave16.astype(ecd))
+            _, idx_n, _ = self.narrow.apply({"params": _enc_cast(p_n)}, feats)
+            _, idx_w, _ = self.wide.apply({"params": _enc_cast(p_w)}, feats)
             return idx_n, idx_w
 
         @jax.jit

@@ -161,8 +161,22 @@ class Trainer:
 
         self.eval_fn = make_sharded_eval_step(self.model, self.mesh)
 
-        self._jit_whisper = jax.jit(
-            lambda p, w: self.whisper.apply({"params": p}, whisper_log_mel(w)))
+        # Frozen semantic encoder follows the training compute dtype (the
+        # reference runs it under the same fp16 autocast as the model,
+        # train.py:800); features return as f32.  Style encoder stays f32.
+        enc_dtype = (jnp.bfloat16 if tcfg.compute_dtype == "bfloat16"
+                     else jnp.float32)
+
+        def _whisper_fwd(p, w):
+            mel = whisper_log_mel(w)
+            if enc_dtype != jnp.float32:
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(enc_dtype)
+                    if a.dtype == jnp.float32 else a, p)
+                mel = mel.astype(enc_dtype)
+            return self.whisper.apply({"params": p}, mel).astype(jnp.float32)
+
+        self._jit_whisper = jax.jit(_whisper_fwd)
         self._jit_style = jax.jit(
             lambda p, f: self.campplus.apply({"params": p}, f))
 

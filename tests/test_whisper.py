@@ -52,6 +52,25 @@ def test_whisper_encoder_parity():
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
 
 
+def test_whisper_encoder_bf16_close_to_f32():
+    """The pipeline runs the frozen encoder in compute_dtype on TPU
+    (reference default is fp16 — ``inference.py:145-236``); bf16 features
+    must stay close to the f32 ones (guards dtype-cast bugs like double
+    pos-embed casts or bf16 LayerNorm blowups)."""
+    cfg = WhisperEncoderConfig(d_model=64, n_layers=2, n_heads=4, ffn_dim=128)
+    model = WhisperEncoder(cfg)
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(rng.standard_normal((1, 3000, 80)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), mel)["params"]
+
+    ref = np.asarray(model.apply({"params": params}, mel), np.float32)
+    p16 = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+    out = np.asarray(model.apply({"params": p16},
+                                 mel.astype(jnp.bfloat16)), np.float32)
+    snr = 10 * np.log10(np.mean(ref ** 2) / np.mean((ref - out) ** 2))
+    assert snr > 25.0, f"bf16 whisper SNR {snr:.1f} dB"
+
+
 def test_truncate_semantic():
     f = jnp.zeros((1, 1500, 8))
     out = truncate_semantic(f, 16000)
