@@ -90,6 +90,56 @@ def bench_ffn(B=2, T=2560, d=512):
     return report(f"swiglu_ffn B{B} T{T} d{d} inter{inter}", dt, flops)
 
 
+def bench_int8_matmul(M=5120, K=512, N=1536):
+    """MXU int8 probe at the FFN-w1 shape of the CFG-stacked sampler
+    (M = 2*2560 tokens): is XLA's int8 dot actually ~2x bf16 on this chip
+    (v5e peak: 394 int8 vs 197 bf16 TOP/s), and how much of that survives
+    dynamic per-row activation quantisation?  Decides whether a
+    weight+activation int8 trunk path is worth building."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (M, K), jnp.bfloat16)
+    k1, k2 = jax.random.split(key)
+    w1 = jax.random.normal(k1, (K, N), jnp.bfloat16) / 16.0
+    w2 = jax.random.normal(k2, (N, K), jnp.bfloat16) / 16.0
+
+    def q8(w):  # per-tensor weight quant (probe only)
+        s = jnp.max(jnp.abs(w.astype(jnp.float32))) / 127.0
+        return jnp.round(w.astype(jnp.float32) / s).astype(jnp.int8), s
+
+    w1q, s1 = q8(w1)
+    w2q, s2 = q8(w2)
+    flops = 2 * M * K * N * 2  # w1 + w2 round trip (output shape == input)
+
+    def run(name, fn, p):
+        dt = timeit(fn, p, x)
+        return report(name, dt, flops)
+
+    rows = [run(f"matmul2_bf16 {M}x{K}x{N}",
+                jax.jit(lambda w_, x_: ((x_ @ w_[0]) @ w_[1]).astype(
+                    jnp.bfloat16)), (w1, w2))]
+
+    def dot8(x8, wq):
+        return jax.lax.dot_general(x8, wq, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    def int8_dynamic(w_, x_):
+        # per-row dynamic activation scales (what a real trunk path pays)
+        def qa(a):
+            s = jnp.max(jnp.abs(a.astype(jnp.float32)), axis=1,
+                        keepdims=True) / 127.0
+            return jnp.round(a.astype(jnp.float32) / s).astype(jnp.int8), s
+
+        x8, sx = qa(x_)
+        h = dot8(x8, w_[0]).astype(jnp.float32) * (sx * s1)
+        h8, sh = qa(h)
+        o = dot8(h8, w_[1]).astype(jnp.float32) * (sh * s2)
+        return o.astype(jnp.bfloat16)
+
+    rows.append(run(f"matmul2_int8_dynamic {M}x{K}x{N}",
+                    jax.jit(int8_dynamic), (w1q, w2q)))
+    return rows
+
+
 def bench_wavenet(B=2, T=2560):
     from seedvc_tpu.core.config import WavenetConfig
     from seedvc_tpu.nn.wavenet import WaveNet
@@ -337,6 +387,7 @@ ALL = {
     "attention": bench_attention,
     "attention_xla": lambda: bench_attention(flash=False),
     "ffn": bench_ffn,
+    "int8_matmul": bench_int8_matmul,
     "wavenet": bench_wavenet,
     "dit": bench_dit_step,
     "vocoder": bench_vocoder,

@@ -90,8 +90,6 @@ def logical_to_sharding(params, mesh: Mesh,
                 parts.append(str(k))
         return "/".join(parts)
 
-    paths = {id(leaf): path_str(kp) for kp, leaf in flat}
-
     def to_sharding(kp, leaf):
         spec = _spec_for(path_str(kp), rules)
         # Drop axes that don't divide the dimension (e.g. tiny test shapes).
