@@ -103,7 +103,8 @@ def bench_int8_matmul(M=5120, K=512, N=1536):
     w2 = jax.random.normal(k2, (N, K), jnp.bfloat16) / 16.0
 
     def q8(w):  # per-tensor weight quant (probe only)
-        s = jnp.max(jnp.abs(w.astype(jnp.float32))) / 127.0
+        # guard: an all-zero tensor must not divide by zero
+        s = jnp.maximum(jnp.max(jnp.abs(w.astype(jnp.float32))), 1e-8) / 127.0
         return jnp.round(w.astype(jnp.float32) / s).astype(jnp.int8), s
 
     w1q, s1 = q8(w1)
@@ -125,8 +126,9 @@ def bench_int8_matmul(M=5120, K=512, N=1536):
     def int8_dynamic(w_, x_):
         # per-row dynamic activation scales (what a real trunk path pays)
         def qa(a):
-            s = jnp.max(jnp.abs(a.astype(jnp.float32)), axis=1,
-                        keepdims=True) / 127.0
+            # guard: all-zero rows (e.g. padding) must not divide by zero
+            s = jnp.maximum(jnp.max(jnp.abs(a.astype(jnp.float32)), axis=1,
+                                    keepdims=True), 1e-8) / 127.0
             return jnp.round(a.astype(jnp.float32) / s).astype(jnp.int8), s
 
         x8, sx = qa(x_)

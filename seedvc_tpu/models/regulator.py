@@ -53,7 +53,8 @@ def nearest_interpolate(x: jax.Array, target_len: int) -> jax.Array:
 
 
 def nearest_interpolate_to(x: jax.Array, out_len: jax.Array,
-                           target_len: int) -> jax.Array:
+                           target_len: int,
+                           in_len: Optional[jax.Array] = None) -> jax.Array:
     """Nearest interpolation to a *traced* length inside a static buffer.
 
     The reference interpolates to ``ylens.max()`` then masks
@@ -61,8 +62,14 @@ def nearest_interpolate_to(x: jax.Array, out_len: jax.Array,
     shape static (``target_len``) and computes the gather indices from the
     traced ``out_len``, so one compiled program serves every true length.
     Positions ``j >= out_len`` are garbage and must be masked by the caller.
+
+    ``in_len`` (traced scalar) restricts the *input* to its first ``in_len``
+    positions — the analogue of the reference cropping content features to
+    ``len_16k // 320 + 1`` before regulating (``train.py:702``).  With it,
+    one compiled program serves any true content length inside the static
+    ``x`` buffer: padding frames beyond ``in_len`` are never gathered.
     """
-    t_in = x.shape[1]
+    t_in = in_len if in_len is not None else x.shape[1]
     j = jnp.arange(target_len)
     idx = jnp.minimum(j * t_in // jnp.maximum(out_len, 1), t_in - 1)
     return jnp.take(x, idx, axis=1)
@@ -110,6 +117,8 @@ class InterpolateRegulator(nn.Module):
         target_len: int,              # static padded output length
         f0: Optional[jax.Array] = None,  # (B, T_f0) Hz, optional
         n_quantizers: Optional[jax.Array] = None,  # (B,) active codebooks
+        x_lens: Optional[jax.Array] = None,  # () traced true content length
+        f0_lens: Optional[jax.Array] = None,  # () traced true f0 length
     ):
         c = self.cfg
         if c.is_discrete:
@@ -133,9 +142,13 @@ class InterpolateRegulator(nn.Module):
 
         # Reference semantics (``length_regulator.py:120``): interpolate to
         # ylens.max() (traced), NOT to the static padded buffer length — the
-        # pad region is masked to zero below.
+        # pad region is masked to zero below.  ``x_lens`` additionally crops
+        # the input to the true content length (the reference crops features
+        # to ``len_16k // 320 + 1`` before regulating, ``train.py:702``),
+        # so padded content buffers never leak silence encodings into the
+        # conditioning.
         out_len = jnp.max(ylens)
-        h = nearest_interpolate_to(h, out_len, target_len)
+        h = nearest_interpolate_to(h, out_len, target_len, in_len=x_lens)
 
         if c.f0_condition:
             # Declare both branches' params unconditionally so init/apply see
@@ -143,10 +156,16 @@ class InterpolateRegulator(nn.Module):
             f0_mask = self.param("f0_mask", nn.initializers.zeros, (1, c.channels))
             f0_embed = nn.Embed(c.n_f0_bins, c.channels, name="f0_embedding")
             if f0 is None:
+                # Touch the table so flax materialises its params even on an
+                # f0-less init (training feeds f0 later; param trees must
+                # match).  The zero multiply keeps the output identical and
+                # the gradient exactly zero.
+                h = h + 0.0 * f0_embed(jnp.zeros((), jnp.int32))
                 h = h + f0_mask[None]
             else:
                 q = jnp.clip(f0_to_coarse(f0, c.n_f0_bins), 0, c.n_f0_bins - 1)
-                h = h + nearest_interpolate_to(f0_embed(q), out_len, target_len)
+                h = h + nearest_interpolate_to(f0_embed(q), out_len,
+                                               target_len, in_len=f0_lens)
 
         for i in range(len(c.sampling_ratios)):
             h = nn.Conv(c.channels, (3,), padding="SAME", name=f"conv_{i}")(h)

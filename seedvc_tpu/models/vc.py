@@ -35,8 +35,10 @@ class VCModel(nn.Module):
             self.params_cfg.length_regulator, name="length_regulator")
         self.cfm = CFM(self.params_cfg, name="cfm")
 
-    def regulate(self, features, ylens, target_len, f0=None):
-        return self.length_regulator(features, ylens, target_len, f0)
+    def regulate(self, features, ylens, target_len, f0=None, x_lens=None,
+                 f0_lens=None):
+        return self.length_regulator(features, ylens, target_len, f0,
+                                     x_lens=x_lens, f0_lens=f0_lens)
 
     def estimate(self, x, prompt_x, x_lens, t, style, cond, cond_drop=None,
                  static_cond=None):
@@ -47,17 +49,23 @@ class VCModel(nn.Module):
         return self.cfm.precompute_cond(x, prompt_x, x_lens, style, cond)
 
     def __call__(self, s_alt, s_ori, mels, mel_lens, style, *,
-                 rngs_dict, f0=None, deterministic: bool = False):
+                 rngs_dict, f0=None, s_lens=None, f0_lens=None,
+                 deterministic: bool = False):
         """Training loss.
 
         s_alt/s_ori: (B, T_s, D) semantic features (perturbed / original);
-        mels: (B, T, C); mel_lens: (B,); style: (B, S).
+        mels: (B, T, C); mel_lens: (B,); style: (B, S);
+        f0: (B, T_f0) Hz RMVPE pitch for f0_condition presets
+        (reference ``train.py:803-814`` feeds batch RMVPE F0 to the
+        regulator every step); s_lens/f0_lens: traced true content/f0
+        lengths inside the static buffers (the reference crops features to
+        ``len_16k // 320 + 1``, ``train.py:702``).
         """
         B, T, _ = mels.shape
         alt_cond, _, _, alt_commit, alt_cb = self.length_regulator(
-            s_alt, mel_lens, T, f0)
+            s_alt, mel_lens, T, f0, x_lens=s_lens, f0_lens=f0_lens)
         ori_cond, _, _, ori_commit, ori_cb = self.length_regulator(
-            s_ori, mel_lens, T, f0)
+            s_ori, mel_lens, T, f0, x_lens=s_lens, f0_lens=f0_lens)
 
         # Random prompt length ~ U(0, len*0.3..0.9-ish): the reference draws
         # U(0, mel_len-1) then zeroes 10% of them (train.py:823-826).

@@ -90,11 +90,14 @@ def make_sharded_train_step(model: VCModel,
 
     replicated = NamedSharding(mesh, P())
 
+    # bf16 compute casts only the big activations; F0 (Hz values feeding the
+    # coarse-bin quantiser) and the length scalars stay f32/int.
+    _CAST_KEYS = ("s_alt", "s_ori", "mels", "style")
+
     def cast(batch):
         if compute_dtype is None:
             return batch
-        return {k: (v.astype(compute_dtype)
-                    if jnp.issubdtype(v.dtype, jnp.floating) else v)
+        return {k: (v.astype(compute_dtype) if k in _CAST_KEYS else v)
                 for k, v in batch.items()}
 
     def loss_fn(params, batch, rng):
@@ -102,18 +105,20 @@ def make_sharded_train_step(model: VCModel,
         keys = jax.random.split(rng, 4)
         rngs = {"prompt": keys[0], "t": keys[1], "noise": keys[2],
                 "drop": keys[3]}
+        kw = dict(f0=batch.get("f0"), s_lens=batch.get("s_lens"),
+                  f0_lens=batch.get("f0_lens"))
         loss, out = model.apply(
             {"params": params},
             batch["s_alt"], batch["s_ori"], batch["mels"],
             batch["mel_lens"], batch["style"],
-            rngs_dict=rngs, deterministic=True,
+            rngs_dict=rngs, deterministic=True, **kw,
         )
         if teacher_params is not None:
             _, t_out = model.apply(
                 {"params": teacher_params},
                 batch["s_alt"], batch["s_ori"], batch["mels"],
                 batch["mel_lens"], batch["style"],
-                rngs_dict=rngs, deterministic=True,
+                rngs_dict=rngs, deterministic=True, **kw,
             )
             t_out = jax.lax.stop_gradient(t_out)
             loss = loss + distill_weight * jnp.mean((out - t_out) ** 2)
@@ -137,14 +142,21 @@ def make_sharded_train_step(model: VCModel,
     jitted = jax.jit(step_fn, donate_argnums=(0,))
 
     def run(state: TrainState, batch: dict, rng: jax.Array):
-        batch = {
-            k: jax.device_put(v, NamedSharding(
-                mesh, P(AXES.data, *([None] * (v.ndim - 1)))))
-            for k, v in batch.items()
-        }
+        batch = _shard_batch(batch, mesh)
         return jitted(state, batch, jax.device_put(rng, replicated))
 
     return run
+
+
+def _shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Batch-axis tensors sharded over ``data``; scalars (traced true
+    lengths) replicated."""
+    return {
+        k: jax.device_put(v, NamedSharding(
+            mesh,
+            P() if v.ndim == 0 else P(AXES.data, *([None] * (v.ndim - 1)))))
+        for k, v in batch.items()
+    }
 
 
 def make_sharded_eval_step(model: VCModel, mesh: Mesh):
@@ -161,17 +173,15 @@ def make_sharded_eval_step(model: VCModel, mesh: Mesh):
             batch["s_alt"], batch["s_ori"], batch["mels"],
             batch["mel_lens"], batch["style"],
             rngs_dict=rngs, deterministic=True,
+            f0=batch.get("f0"), s_lens=batch.get("s_lens"),
+            f0_lens=batch.get("f0_lens"),
         )
         return loss
 
     jitted = jax.jit(loss_fn)
 
     def run(params, batch: dict, rng):
-        batch = {
-            k: jax.device_put(v, NamedSharding(
-                mesh, P(AXES.data, *([None] * (v.ndim - 1)))))
-            for k, v in batch.items()
-        }
+        batch = _shard_batch(batch, mesh)
         return jitted(params, batch, jax.device_put(rng, replicated))
 
     return run

@@ -85,7 +85,7 @@ class Trainer:
                  whisper_cfg: WhisperEncoderConfig = WHISPER_SMALL,
                  whisper_params=None, campplus_params=None, vc_params=None,
                  openvoice_params=None, se_db: Optional[np.ndarray] = None,
-                 teacher_params=None, n_model: int = 1):
+                 teacher_params=None, rmvpe_params=None, n_model: int = 1):
         self.cfg = cfg
         self.tcfg = tcfg
         sp = cfg.preprocess_params.spect_params
@@ -104,6 +104,21 @@ class Trainer:
             feat_dim=80, embedding_size=cfg.model_params.style_encoder.dim)
         self.campplus_params = campplus_params or jax.jit(self.campplus.init)(
             k2, jnp.zeros((1, 300, 80)))["params"]
+
+        # RMVPE for f0_condition presets: the reference extracts batch F0
+        # every train step and feeds it to the length regulator
+        # (train.py:803-814) — without it the f0_embedding table never
+        # trains and SVC fine-tuning is unfaithful.
+        self.f0_condition = bool(cfg.model_params.DiT.f0_condition)
+        self.rmvpe = None
+        if self.f0_condition:
+            from seedvc_tpu.models.rmvpe import RMVPE, RMVPE_E2E
+
+            if rmvpe_params is None:
+                rmvpe_params = jax.jit(RMVPE_E2E().init)(
+                    jax.random.split(key, 7)[-1],
+                    jnp.zeros((1, 32, 128)))["params"]
+            self.rmvpe = RMVPE(rmvpe_params)
 
         self.model = VCModel(cfg.model_params)
         n_devices = len(jax.devices())
@@ -177,8 +192,21 @@ class Trainer:
             return self.whisper.apply({"params": p}, mel).astype(jnp.float32)
 
         self._jit_whisper = jax.jit(_whisper_fwd)
-        self._jit_style = jax.jit(
-            lambda p, f: self.campplus.apply({"params": p}, f))
+
+        # True-length style extraction (reference loops per sample with true
+        # lengths, train.py:841-869): fbank over the padded batch, per-sample
+        # valid-frame mean subtraction, masked CAMPPlus — equals the
+        # per-sample computation (tests/test_trainer_features.py).
+        def _style_fwd(p, waves_16k, frame_lens):
+            fb = kaldi_fbank(waves_16k)
+            fmask = (jnp.arange(fb.shape[1])[None, :]
+                     < frame_lens[:, None]).astype(fb.dtype)[..., None]
+            mean = (fb * fmask).sum(axis=1, keepdims=True) / jnp.maximum(
+                frame_lens[:, None, None].astype(fb.dtype), 1.0)
+            fb = (fb - mean) * fmask
+            return self.campplus.apply({"params": p}, fb, frame_lens)
+
+        self._jit_style = jax.jit(_style_fwd)
 
         # Faithful timbre perturbation: the OpenVoice VITS converter
         # (reference train.py:544-551, :770-801), used when its converted
@@ -290,19 +318,48 @@ class Trainer:
             self._perturb(batch.waves_16k, rng, waves_sr=waves,
                           step=int(self.state.step)),
             batch.wave_16k_lengths)
-        n_s = min(s_ori.shape[1], s_alt.shape[1])
+        # Crop semantic features to the batch-true token count (the
+        # reference crops to len_16k//320+1, train.py:702; the repo's
+        # inference path crops too, pipelines/convert.py) — WITHOUT the
+        # crop the regulator interpolates mostly-silence 30 s encodings
+        # onto the mel positions and training-time alignment diverges from
+        # inference.  Static shapes stay bucketed (64 tokens ≈ 1.28 s);
+        # the exact true length rides along as a traced scalar (s_lens)
+        # for the regulator's input-crop gather.
+        max16 = int(batch.wave_16k_lengths.max())
+        s_true = max16 // 320 + 1
+        s_bucket = min(-(-s_true // 64) * 64,
+                       min(s_ori.shape[1], s_alt.shape[1]))
+        s_true = min(s_true, s_bucket)
 
-        feat = kaldi_fbank(jnp.asarray(batch.waves_16k))
-        feat = feat - feat.mean(axis=1, keepdims=True)
-        style = self._jit_style(self.campplus_params, feat)
+        # style from true lengths: valid kaldi frame counts (snip_edges)
+        frame_lens = np.maximum(
+            (batch.wave_16k_lengths - 400) // 160 + 1, 1).astype(np.int32)
+        style = self._jit_style(self.campplus_params,
+                                jnp.asarray(batch.waves_16k),
+                                jnp.asarray(frame_lens))
 
-        return {
-            "s_alt": s_alt[:, :n_s],
-            "s_ori": s_ori[:, :n_s],
+        feats = {
+            "s_alt": s_alt[:, :s_bucket],
+            "s_ori": s_ori[:, :s_bucket],
+            "s_lens": jnp.asarray(s_true, jnp.int32),
             "mels": jnp.asarray(mels),
             "mel_lens": jnp.asarray(mel_lens.astype(np.int32)),
             "style": style,
         }
+
+        if self.f0_condition:
+            # Batch RMVPE F0 fed to the regulator (train.py:803-814).
+            # Bucket the 16 kHz waves to 1 s so RMVPE compiles a few shapes.
+            w16_T = -(-batch.waves_16k.shape[1] // 16000) * 16000
+            w16 = np.zeros((B, w16_T), np.float32)
+            w16[:, : batch.waves_16k.shape[1]] = batch.waves_16k
+            f0 = self.rmvpe.infer_from_audio_batch(w16)  # (B, T16//160+1)
+            f0_true = max16 // 160 + 1
+            feats["f0"] = jnp.asarray(f0.astype(np.float32))
+            feats["f0_lens"] = jnp.asarray(min(f0_true, f0.shape[1]),
+                                           jnp.int32)
+        return feats
 
     # ------------------------------------------------------------------
     @property

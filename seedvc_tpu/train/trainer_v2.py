@@ -176,8 +176,19 @@ class TrainerV2:
         self._jit_quant = jax.jit(
             lambda pn, pw, f: (self.narrow.apply({"params": pn}, f)[1],
                                self.wide.apply({"params": pw}, f)[1]))
-        self._jit_style = jax.jit(
-            lambda p, f: self.campplus.apply({"params": p}, f))
+        # True-length style extraction (reference per-sample loop semantics,
+        # train_v2 inherits train.py:841-869 via compute_style): masked
+        # mean-sub + masked CAMPPlus equals per-sample true-length compute.
+        def _style_fwd(p, waves_16k, frame_lens):
+            fb = kaldi_fbank(waves_16k)
+            fmask = (jnp.arange(fb.shape[1])[None, :]
+                     < frame_lens[:, None]).astype(fb.dtype)[..., None]
+            mean = (fb * fmask).sum(axis=1, keepdims=True) / jnp.maximum(
+                frame_lens[:, None, None].astype(fb.dtype), 1.0)
+            fb = (fb - mean) * fmask
+            return self.campplus.apply({"params": p}, fb, frame_lens)
+
+        self._jit_style = jax.jit(_style_fwd)
         self._step = jax.jit(self._step_impl, donate_argnums=(0,),
                              static_argnames=("mel_T", "ar_C", "ar_X", "tok_T"))
         self._val_step = jax.jit(
@@ -204,9 +215,12 @@ class TrainerV2:
         total = jnp.zeros((), jnp.float32)
         metrics = {}
         if forward_cfm:
+            # x_lens crops the bucketed token buffer to the batch-true token
+            # count (the reference regulates exactly the extracted tokens,
+            # vc_wrapper.py:55-66) so bucket padding never leaks into cond.
             cond = self.cfm_reg.apply(
                 {"params": params["cfm_reg"]}, batch["wide_idx"],
-                batch["mel_lens"], mel_T)[0]
+                batch["mel_lens"], mel_T, x_lens=batch["tok_max"])[0]
             B = batch["mels"].shape[0]
             frac = jax.random.uniform(keys[0], (B,))
             prompt_lens = (frac * 0.5 * batch["mel_lens"]).astype(jnp.int32)
@@ -229,7 +243,8 @@ class TrainerV2:
         if forward_ar:
             cond_emb = self.ar_reg.apply(
                 {"params": params["ar_reg"]}, batch["ar_cond_idx"],
-                batch["ar_cond_lens"], ar_C)[0]
+                batch["ar_cond_lens"], ar_C,
+                x_lens=batch["ar_cond_max"])[0]
             loss_ar = ar_loss(self.ar, {"params": params["ar"]}, cond_emb,
                               batch["ar_cond_lens"], batch["wide_idx"][:, :ar_X],
                               jnp.minimum(batch["token_lens"], ar_X))
@@ -328,18 +343,22 @@ class TrainerV2:
         for b, r in enumerate(reduced):
             ar_cond_idx[b, : len(r)] = r
 
-        # style
-        fb = kaldi_fbank(jnp.asarray(batch.waves_16k))
-        fb = fb - fb.mean(axis=1, keepdims=True)
-        style = self._jit_style(self.p_campplus, fb)
+        # style from true lengths: valid kaldi frame counts (snip_edges)
+        frame_lens = np.maximum(
+            (batch.wave_16k_lengths - 400) // 160 + 1, 1).astype(np.int32)
+        style = self._jit_style(self.p_campplus, jnp.asarray(batch.waves_16k),
+                                jnp.asarray(frame_lens))
 
         feats_dict = {
             "mels": jnp.asarray(mels),
             "mel_lens": jnp.asarray(mel_lens.astype(np.int32)),
             "wide_idx": jnp.asarray(idx_w),
             "token_lens": jnp.asarray(token_lens),
+            "tok_max": jnp.asarray(int(token_lens.max()), jnp.int32),
             "ar_cond_idx": jnp.asarray(ar_cond_idx),
             "ar_cond_lens": jnp.asarray(ar_cond_lens),
+            "ar_cond_max": jnp.asarray(max(int(ar_cond_lens.max()), 1),
+                                       jnp.int32),
             "style": style,
         }
         dims = {"mel_T": mel_T, "ar_C": ar_C, "ar_X": idx_w.shape[1],
@@ -350,7 +369,9 @@ class TrainerV2:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         return {k: jax.device_put(v, NamedSharding(
-            self.mesh, P(AXES.data, *([None] * (v.ndim - 1)))))
+            self.mesh,
+            P() if v.ndim == 0
+            else P(AXES.data, *([None] * (v.ndim - 1)))))
             for k, v in feats.items()}
 
     def train_step(self, batch: Batch, rng) -> dict:
