@@ -194,14 +194,20 @@ class ARTransformer(nn.Module):
         logits = self.output(self.norm(x[:, -1]))
         return logits, jnp.stack(new_k), jnp.stack(new_v)
 
-    def decode_step(self, x_emb, input_pos, kv_pos, k_caches, v_caches):
+    def decode_step(self, x_emb, input_pos, kv_pos, k_caches, v_caches,
+                    min_key=None):
         """One-token decode.  x_emb: (B, 1, D); input_pos/kv_pos: (B,)/scalar.
 
-        Attention mask: positions <= kv_pos valid (causal over global kv).
+        Attention mask: positions <= kv_pos valid (causal over global kv);
+        ``min_key`` (B,) additionally excludes cache slots below a per-row
+        start (left-padded batched decode never reads pad slots).
         Returns (logits (B, vocab), k_caches, v_caches)."""
         c = self.cfg
         freqs = self._freqs(input_pos[:, None])
-        valid = jnp.arange(c.max_seq_len)[None, None, None, :] <= kv_pos
+        keys = jnp.arange(c.max_seq_len)[None, None, None, :]
+        valid = keys <= kv_pos
+        if min_key is not None:
+            valid = valid & (keys >= min_key[:, None, None, None])
         x = x_emb
         new_k, new_v = [], []
         for i, blk in enumerate(self.blocks):
@@ -241,36 +247,49 @@ def sample_token(key, logits, presence, *, temperature=0.7, top_p=0.7,
 
 
 class DecodeState(NamedTuple):
-    step: jax.Array         # tokens generated so far
-    kv_pos: jax.Array       # next kv write position
-    input_pos: jax.Array    # next rope position (restarting segment)
-    last_token: jax.Array
-    tokens: jax.Array       # (max_new,) output buffer
-    presence: jax.Array     # (vocab,) bool, for repetition penalty
+    step: jax.Array         # global decode step (scalar)
+    steps: jax.Array        # (B,) tokens generated per row
+    kv_pos: jax.Array       # next kv write position (scalar: rows aligned)
+    input_pos: jax.Array    # (B,) next rope position (restarting segment)
+    last_token: jax.Array   # (B,)
+    tokens: jax.Array       # (B, max_new) output buffer
+    presence: jax.Array     # (B, vocab) bool, for repetition penalty
     k_caches: jax.Array
     v_caches: jax.Array
     key: jax.Array
-    done: jax.Array
+    done: jax.Array         # (B,)
 
 
 def make_generate_fn(model: ARTransformer, max_new_tokens: int = 1024,
                      temperature: float = 0.7, top_p: float = 0.7,
                      repetition_penalty: float = 1.5):
-    """Build a jittable generate(params, cond_emb, cond_len, prompt_tokens,
-    prompt_len) -> (tokens, n_tokens).
+    """Build a jittable generate(params, cond_emb, cond_lens, prompt_tokens,
+    prompt_lens, key) -> (tokens (B, max_new), n_tokens (B,)).
 
-    cond_emb: (1, C_max, D) narrow-token embeddings (regulated), padded;
-    prompt_tokens: (1, P_max) target-prefix wide tokens, padded.
+    cond_emb: (B, C_max, D) narrow-token embeddings (regulated), padded;
+    prompt_tokens: (B, P_max) target-prefix wide tokens, padded;
+    cond_lens/prompt_lens: scalar or (B,) true lengths.
     Sequence layout matches the reference generate (``ar.py:382-421``):
     [sep ‖ cond ‖ sep ‖ prompt_target] with rope positions restarting at the
-    second sep; kv positions are global.
+    second sep; kv positions are global cache slots.
+
+    TPU-first batched decode (the reference loop is B=1 Python,
+    ``ar.py:404-421``): rows are LEFT-padded inside the packed prefill so
+    every row's last valid token lands on the same cache slot — decode then
+    writes all rows at one scalar kv position per step (no per-row scatter),
+    and per-row EOS flags mask finished rows.  The v2 pipeline batches the
+    1500-token chunks of one utterance through this (``convert_v2.py``).
     """
     cfg = model.cfg
 
-    def generate(params, cond_emb, cond_len, prompt_tokens, prompt_len, key):
+    def generate(params, cond_emb, cond_lens, prompt_tokens, prompt_lens,
+                 key):
         B, C_max, D = cond_emb.shape
         P_max = prompt_tokens.shape[1]
         S_max = cfg.max_seq_len
+        cond_lens = jnp.broadcast_to(jnp.asarray(cond_lens, jnp.int32), (B,))
+        prompt_lens = jnp.broadcast_to(jnp.asarray(prompt_lens, jnp.int32),
+                                       (B,))
 
         # Token-by-token decode is weight-streaming bound (one forward per
         # token): bf16 params halve the HBM traffic per step on TPU.  The
@@ -283,111 +302,108 @@ def make_generate_fn(model: ARTransformer, max_new_tokens: int = 1024,
 
         apply = partial(model.apply, params)
         sep = apply(method=lambda m: m.sep_token)  # (D,)
-        tok_emb = apply(prompt_tokens, method=model.embed_tokens)  # (1,P,D)
+        tok_emb = apply(prompt_tokens, method=model.embed_tokens)  # (B,P,D)
 
-        # Build the packed prefill sequence of static length 2 + C_max + P_max.
-        # Valid layout: [sep, cond[:cond_len], sep, tok_emb[:prompt_len]].
+        # Packed prefill sequence, static length 2 + C_max + P_max, LEFT-
+        # padded per row: [pad… ‖ sep ‖ cond[:cl] ‖ sep ‖ tok[:pl]] so the
+        # last valid token sits at slot L_pre-1 for every row.
         L_pre = 2 + C_max + P_max
-        idx = jnp.arange(L_pre)
-        # position of second sep = cond_len + 1
-        second_sep = cond_len + 1
-        # gather source: for i < 1 -> sep; 1 <= i < 1+cond_len -> cond[i-1];
-        # i == second_sep -> sep; else tok_emb[i - cond_len - 2]
-        cond_gather = jnp.clip(idx - 1, 0, C_max - 1)
-        tok_gather = jnp.clip(idx - second_sep - 1, 0, P_max - 1)
+        valid_len = 2 + cond_lens + prompt_lens           # (B,)
+        off = (L_pre - valid_len)[:, None]                # (B, 1) row starts
+        idx = jnp.arange(L_pre)[None, :]                  # (1, L_pre)
+        rel = idx - off                                   # (B, L_pre)
+        second_sep = (cond_lens + 1)[:, None]
+        is_sep = (rel == 0) | (rel == second_sep)
+        in_cond = (rel > 0) & (rel < second_sep)
+        cond_gather = jnp.clip(rel - 1, 0, C_max - 1)
+        tok_gather = jnp.clip(rel - second_sep - 1, 0, P_max - 1)
         emb = jnp.where(
-            ((idx == 0) | (idx == second_sep))[None, :, None], sep[None, None, :],
-            jnp.where((idx < second_sep)[None, :, None],
-                      cond_emb[:, cond_gather],
-                      tok_emb[:, tok_gather]))
-        # rope positions: arange for segment 1, restart at second sep:
-        # reference: [0..cond_len] ‖ [0] ‖ [1..prompt_len] (ar.py:414-419)
-        pos = jnp.where(idx <= cond_len, idx, idx - second_sep)
-        valid_len = 2 + cond_len + prompt_len
-        kv_idx = idx  # global kv positions
+            is_sep[..., None], sep[None, None, :],
+            jnp.where(in_cond[..., None],
+                      jnp.take_along_axis(cond_emb, cond_gather[..., None],
+                                          axis=1),
+                      jnp.take_along_axis(tok_emb, tok_gather[..., None],
+                                          axis=1)))
+        # rope positions restart at the second sep (reference ar.py:414-419):
+        # [0..cond_len] ‖ [0] ‖ [1..prompt_len]; pad positions clamp to 0.
+        pos = jnp.where(rel < second_sep, jnp.maximum(rel, 0),
+                        rel - second_sep)
 
-        # prefill causal mask: queries are the L_pre packed positions, keys
-        # span the full cache (decode-mode attention reads all S_max slots).
-        keys = jnp.arange(S_max)
-        mask = ((keys[None, :] <= kv_idx[:, None]) &
-                (keys[None, :] < valid_len))[None, None]
+        # prefill causal mask per row: off <= key <= query (pad queries self-
+        # attend to avoid all-masked softmax rows; their outputs are unused).
+        keys = jnp.arange(S_max)[None, None, None, :]
+        q_idx = idx[:, :, None]                           # (B, L_pre, 1)
+        mask = ((keys[:, 0] <= q_idx) &
+                ((keys[:, 0] >= off[..., None]) | (keys[:, 0] == q_idx))
+                )[:, None]                                # (B,1,L_pre,S_max)
 
-        k0 = jnp.zeros((cfg.n_layer, B, S_max, cfg.n_local_heads, cfg.head_dim),
-                       cond_emb.dtype)
+        k0 = jnp.zeros((cfg.n_layer, B, S_max, cfg.n_local_heads,
+                        cfg.head_dim), cond_emb.dtype)
         v0 = jnp.zeros_like(k0)
+        logits, kc, vc = apply(emb, pos, mask, k0, v0, method=model.prefill)
+        # left padding => prefill's final-row logits ARE the last valid
+        # token's logits for every row (no fix-up decode step needed).
 
-        # Prefill writes k/v for ALL L_pre positions; entries beyond
-        # valid_len are junk but each decode step overwrites position kv_pos
-        # before any read can see it (the causal mask admits pos <= kv_pos,
-        # all of which hold real data by then).
-        _, kc, vc = apply(emb, jnp.broadcast_to(pos[None], (B, L_pre)),
-                          mask, k0, v0, method=model.prefill)
-        # Prefill's final-row logits belong to a padding slot when
-        # valid_len < L_pre, so take one decode step at the true last valid
-        # token to get its logits (idempotent cache write at valid_len-1).
-        last_emb = jnp.take_along_axis(
-            emb, jnp.broadcast_to((valid_len - 1).astype(jnp.int32)[None, None, None],
-                                  (B, 1, D)), axis=1)
-        last_rope = _last_rope_pos(cond_len, prompt_len)
-        logits, kc, vc = apply(last_emb, jnp.full((B,), last_rope, jnp.int32),
-                               valid_len - 1, kc, vc, method=model.decode_step)
+        min_key = off[:, 0]  # decode never reads pad slots
+        presence0 = jnp.zeros((B, cfg.vocab_size), bool)
+        tokens0 = jnp.zeros((B, max_new_tokens), jnp.int32)
 
-        presence0 = jnp.zeros((cfg.vocab_size,), bool)
-        # mark prompt target tokens as seen? reference passes only generated
-        # tokens as previous_tokens -> start empty.
-        tokens0 = jnp.zeros((max_new_tokens,), jnp.int32)
+        def sample_batch(key, logits, presence, suppress_eos):
+            subs = jax.random.split(key, B)
+            return jax.vmap(
+                lambda k, lg, pr: sample_token(
+                    k, lg, pr, temperature=temperature, top_p=top_p,
+                    repetition_penalty=repetition_penalty,
+                    suppress_eos=suppress_eos, eos=cfg.eos)
+            )(subs, logits, presence)
 
         key, sub = jax.random.split(key)
-        first_tok = sample_token(sub, logits[0], presence0,
-                                 temperature=temperature, top_p=top_p,
-                                 repetition_penalty=repetition_penalty,
-                                 suppress_eos=True, eos=cfg.eos)
+        first_tok = sample_batch(sub, logits, presence0,
+                                 suppress_eos=jnp.asarray(True))
+        rows = jnp.arange(B)
         state = DecodeState(
             step=jnp.asarray(1, jnp.int32),
-            kv_pos=valid_len.astype(jnp.int32),
-            input_pos=(_last_rope_pos(cond_len, prompt_len) + 1).astype(jnp.int32),
+            steps=jnp.ones((B,), jnp.int32),
+            kv_pos=jnp.asarray(L_pre, jnp.int32),
+            input_pos=prompt_lens + 1,
             last_token=first_tok,
-            tokens=tokens0.at[0].set(first_tok),
-            presence=presence0.at[first_tok].set(True),
+            tokens=tokens0.at[rows, 0].set(first_tok),
+            presence=presence0.at[rows, first_tok].set(True),
             k_caches=kc, v_caches=vc, key=key,
-            done=jnp.asarray(False),
+            done=jnp.zeros((B,), bool),
         )
 
         def cond_fn(s: DecodeState):
-            return (~s.done) & (s.step < max_new_tokens)
+            return (~jnp.all(s.done)) & (s.step < max_new_tokens)
 
         def body_fn(s: DecodeState):
-            emb1 = apply(s.last_token[None, None], method=model.embed_tokens)
+            emb1 = apply(s.last_token[:, None], method=model.embed_tokens)
             logits, kc, vc = apply(
-                emb1, jnp.full((B,), s.input_pos, jnp.int32), s.kv_pos,
-                s.k_caches, s.v_caches, method=model.decode_step)
+                emb1, s.input_pos, s.kv_pos, s.k_caches, s.v_caches,
+                min_key=min_key, method=model.decode_step)
             key, sub = jax.random.split(s.key)
-            tok = sample_token(sub, logits[0], s.presence,
-                               temperature=temperature, top_p=top_p,
-                               repetition_penalty=repetition_penalty,
-                               suppress_eos=s.step < 10, eos=cfg.eos)
+            tok = sample_batch(sub, logits, s.presence,
+                               suppress_eos=s.step < 10)
             is_eos = tok == cfg.eos
-            tokens = jnp.where(is_eos, s.tokens, s.tokens.at[s.step].set(tok))
+            active = ~s.done
+            write = active & ~is_eos
+            tokens = s.tokens.at[rows, s.steps].set(
+                jnp.where(write, tok, s.tokens[rows, s.steps]))
+            presence = s.presence.at[rows, tok].set(
+                s.presence[rows, tok] | write)
             return DecodeState(
-                step=s.step + jnp.where(is_eos, 0, 1),
+                step=s.step + 1,
+                steps=s.steps + write.astype(jnp.int32),
                 kv_pos=s.kv_pos + 1,
                 input_pos=s.input_pos + 1,
-                last_token=tok,
+                last_token=jnp.where(active, tok, s.last_token),
                 tokens=tokens,
-                presence=jnp.where(is_eos, s.presence,
-                                   s.presence.at[tok].set(True)),
+                presence=presence,
                 k_caches=kc, v_caches=vc, key=key,
-                done=is_eos,
+                done=s.done | is_eos,
             )
 
         final = jax.lax.while_loop(cond_fn, body_fn, state)
-        return final.tokens, final.step
+        return final.tokens, final.steps
 
     return generate
-
-
-def _last_rope_pos(cond_len, prompt_len):
-    """Rope position of the last valid token: prompt tokens occupy restarted
-    positions 1..prompt_len (position 0 is the second sep); if prompt empty,
-    the last token is the second sep at restarted position 0."""
-    return jnp.where(prompt_len > 0, prompt_len, 0).astype(jnp.int32)

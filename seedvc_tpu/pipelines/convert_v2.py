@@ -185,9 +185,9 @@ class VoiceConverterV2:
                                       target_len)[0]
 
         @partial(jax.jit, static_argnames=("target_len",))
-        def ar_reg_fn(p, tokens, ylens, target_len):
+        def ar_reg_fn(p, tokens, ylens, target_len, x_lens=None):
             return self.ar_reg.apply({"params": p}, tokens, ylens,
-                                     target_len)[0]
+                                     target_len, x_lens=x_lens)[0]
 
         W = cfg.context_frames - cfg.prompt_cap_frames
         cd = (jnp.bfloat16 if jax.default_backend() == "tpu"
@@ -317,28 +317,40 @@ class VoiceConverterV2:
             self._cfm_reg_fn, self.p_cfm_reg, tgt_w, p_len)
 
         if convert_style or anonymization_only:
-            # AR path: duration-reduced narrow tokens -> wide tokens.
+            # AR path: duration-reduced narrow tokens -> wide tokens.  The
+            # <=1500-token chunks of one utterance are independent given the
+            # shared target prefix (reference loops them one by one,
+            # vc_wrapper.py:628-649) — here ALL chunks decode as ONE batched
+            # generate call (models/ar.py left-padded batched decode), so a
+            # long utterance costs ~one chunk's wall time.
             tgt_red, _ = duration_reduction(np.asarray(tgt_n)[0])
             src_red, _ = duration_reduction(np.asarray(src_n)[0])
-            pred_chunks = []
-            for start in range(0, len(src_red), AR_MAX_CONTENT_LEN):
-                chunk = src_red[start: start + AR_MAX_CONTENT_LEN]
-                ar_src = np.concatenate([tgt_red, chunk])[None]
-                C_max = -(-len(ar_src[0]) // 256) * 256
-                cond_emb = self._regulate_tokens(
-                    self._ar_reg_fn, self.p_ar_reg,
-                    np.pad(ar_src, ((0, 0), (0, C_max - ar_src.shape[1]))),
-                    C_max)
-                P_max = -(-max(tgt_w.shape[1], 8) // 64) * 64
-                prompt_tok = np.zeros((1, P_max), np.int64)
-                prompt_tok[:, : tgt_w.shape[1]] = tgt_w
-                key = jax.random.PRNGKey(seed + start)
-                tokens, n_tok = self._generate(
-                    {"params": self.p_ar}, cond_emb,
-                    jnp.asarray(ar_src.shape[1]), jnp.asarray(prompt_tok),
-                    jnp.asarray(tgt_w.shape[1]), key)
-                pred_chunks.append(np.asarray(tokens)[: int(n_tok)])
-            wide_tokens = np.concatenate(pred_chunks)[None]
+            chunks = [src_red[s: s + AR_MAX_CONTENT_LEN]
+                      for s in range(0, max(len(src_red), 1),
+                                     AR_MAX_CONTENT_LEN)]
+            B = len(chunks)
+            cond_lens = np.array([len(tgt_red) + len(c) for c in chunks],
+                                 np.int32)
+            C_max = int(-(-cond_lens.max() // 256) * 256)
+            ar_src = np.zeros((B, C_max), np.int64)
+            for b, c in enumerate(chunks):
+                ar_src[b, : len(tgt_red)] = tgt_red
+                ar_src[b, len(tgt_red): len(tgt_red) + len(c)] = c
+            # identity regulation per row: x_lens == out_len == max row len
+            cond_emb = self._ar_reg_fn(
+                self.p_ar_reg, jnp.asarray(ar_src), jnp.asarray(cond_lens),
+                C_max, jnp.asarray(int(cond_lens.max())))
+            P_max = -(-max(tgt_w.shape[1], 8) // 64) * 64
+            prompt_tok = np.zeros((B, P_max), np.int64)
+            prompt_tok[:, : tgt_w.shape[1]] = tgt_w
+            tokens, n_tok = self._generate(
+                {"params": self.p_ar}, cond_emb, jnp.asarray(cond_lens),
+                jnp.asarray(prompt_tok),
+                jnp.asarray(np.full(B, tgt_w.shape[1], np.int32)),
+                jax.random.PRNGKey(seed))
+            tokens, n_tok = np.asarray(tokens), np.asarray(n_tok)
+            wide_tokens = np.concatenate(
+                [tokens[b, : int(n_tok[b])] for b in range(B)])[None]
         else:
             wide_tokens = src_w
 
