@@ -180,6 +180,7 @@ PAGE = """<!doctype html>
   <div class="row"><label>Length adjust</label><input type="number" name="length_adjust" value="1.0" step="0.05"></div>
   <div class="row"><label>CFG rate</label><input type="number" name="cfg_rate" value="0.7" step="0.05"></div>
   <div class="row"><label>Stream output (chunked)</label><input type="checkbox" id="stream" checked></div>
+  <div class="row"><label>Stream format</label><select name="stream_format"><option value="wav">wav (raw)</option><option value="flac">flac (compressed)</option><option value="mp3">mp3 (needs ffmpeg)</option></select></div>
  </fieldset>
  <fieldset id="f-svc" style="display:none"><legend>F0 (singing)</legend>
   <div class="row"><label>Auto F0 adjust</label><input type="checkbox" name="auto_f0_adjust" checked></div>
@@ -251,6 +252,81 @@ def wav_stream_header(sr: int, bits: int = 16, channels: int = 1) -> bytes:
                              block_align, bits),
         b"data", struct.pack("<I", 0xFFFFFFFF),
     ])
+
+
+class FfmpegMp3Encoder:
+    """mp3 chunk encoder through an external ffmpeg binary (the reference
+    encodes its stream chunks with pydub->ffmpeg, ``seed_vc_wrapper.py:201``).
+    Only available when a deploy environment ships ffmpeg; this one doesn't,
+    so the built-in compressed format is FLAC (``dsp/flac.py``)."""
+
+    def __init__(self, sr: int):
+        import shutil
+        import subprocess
+
+        exe = shutil.which("ffmpeg")
+        if exe is None:
+            raise RuntimeError(
+                "stream_format=mp3 needs an ffmpeg binary on PATH; "
+                "use stream_format=flac (built-in, lossless) or wav")
+        self._proc = subprocess.Popen(
+            [exe, "-hide_banner", "-loglevel", "error", "-f", "s16le",
+             "-ar", str(sr), "-ac", "1", "-i", "pipe:0",
+             "-f", "mp3", "-b:a", "128k", "pipe:1"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE)
+        self._out: list[bytes] = []
+        self._lock = threading.Lock()
+
+        def drain():
+            while True:
+                data = self._proc.stdout.read(4096)
+                if not data:
+                    return
+                with self._lock:
+                    self._out.append(data)
+
+        self._reader = threading.Thread(target=drain, daemon=True)
+        self._reader.start()
+
+    def _take(self) -> bytes:
+        with self._lock:
+            data = b"".join(self._out)
+            self._out.clear()
+        return data
+
+    def encode(self, pcm16: bytes) -> bytes:
+        self._proc.stdin.write(pcm16)
+        self._proc.stdin.flush()
+        return self._take()
+
+    def finish(self) -> bytes:
+        self._proc.stdin.close()
+        self._reader.join(timeout=10)
+        self._proc.wait(timeout=10)
+        return self._take()
+
+
+def make_stream_encoder(fmt: str, sr: int):
+    """(content_type, header_bytes, encode(pcm16 bytes)->bytes,
+    finish()->bytes) for a streaming format.  Raises ValueError/RuntimeError
+    for unknown/unavailable formats — callers surface a 400 BEFORE chunked
+    headers go out."""
+    if fmt == "wav":
+        return ("audio/wav", wav_stream_header(sr),
+                lambda pcm: pcm, lambda: b"")
+    if fmt == "flac":
+        from seedvc_tpu.dsp.flac import StreamingFlacEncoder
+
+        enc = StreamingFlacEncoder(sr)
+        import numpy as np
+
+        return ("audio/flac", enc.header(),
+                lambda pcm: enc.encode(np.frombuffer(pcm, "<i2")),
+                lambda: b"")
+    if fmt == "mp3":
+        enc = FfmpegMp3Encoder(sr)
+        return ("audio/mpeg", b"", enc.encode, enc.finish)
+    raise ValueError(f"unknown stream_format '{fmt}' (wav|flac|mp3)")
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -404,13 +480,20 @@ class Handler(BaseHTTPRequestHandler):
         return buf.getvalue(), stats
 
     def _convert_stream(self, fields: dict):
-        """Chunked ``audio/wav`` response: one HTTP chunk per crossfaded
-        pipeline piece (reference streams mp3 chunks from the same kind of
-        generator, ``seed_vc_wrapper.py:201-286``)."""
+        """Chunked compressed/raw audio response: one HTTP chunk per
+        crossfaded pipeline piece (the reference streams mp3 chunks from the
+        same kind of generator, ``seed_vc_wrapper.py:201-286``).
+        ``stream_format``: wav (raw PCM), flac (built-in lossless
+        compression, ``dsp/flac.py``), mp3 (external ffmpeg)."""
         import numpy as np
 
         try:
             mode, conv, kwargs, audio = self._parse_request(fields)
+            fmt = _f(fields, "stream_format", str, "wav")
+            # validate the format (incl. ffmpeg availability for mp3) BEFORE
+            # chunked headers go out, so failures are clean 400s
+            ctype, header, encode, finish = make_stream_encoder(
+                fmt, int(getattr(conv, "sr", 22050)))
             gen_fn = (conv.convert_voice_with_streaming if mode == "v2"
                       else conv.convert_with_streaming)
             gen = gen_fn(*audio, **kwargs)
@@ -423,13 +506,14 @@ class Handler(BaseHTTPRequestHandler):
             self.wfile.write(data)
             self.wfile.write(b"\r\n")
 
-        def send_stream_headers(sr: int):
+        def send_stream_headers():
             self.send_response(200)
-            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Type", ctype)
             self.send_header("Transfer-Encoding", "chunked")
             self.send_header("Cache-Control", "no-store")
             self.end_headers()
-            write_chunk(wav_stream_header(sr))
+            if header:
+                write_chunk(header)
 
         # Chunk writes happen while holding the TPU lock (the generator owns
         # device state between pieces); a stalled reader must not block every
@@ -440,11 +524,13 @@ class Handler(BaseHTTPRequestHandler):
             try:
                 for sr, piece, stats in gen:
                     if not headers_sent:
-                        send_stream_headers(sr)
+                        send_stream_headers()
                         headers_sent = True
                     pcm = (np.clip(piece, -1, 1) * 32767).astype("<i2")
-                    if pcm.size:  # a zero-length chunk IS the terminator
-                        write_chunk(pcm.tobytes())
+                    if pcm.size:
+                        out = encode(pcm.tobytes())
+                        if out:  # a zero-length chunk IS the terminator
+                            write_chunk(out)
             except Exception as e:
                 if not headers_sent:
                     self._send(400, f"{type(e).__name__}: {e}".encode(),
@@ -458,8 +544,11 @@ class Handler(BaseHTTPRequestHandler):
                 return
         if not headers_sent:
             # valid request but zero pieces (e.g. sub-chunk-length source):
-            # a well-formed empty wav, not raw chunk bytes with no headers.
-            send_stream_headers(int(getattr(conv, "sr", 22050)))
+            # well-formed empty audio, not raw chunk bytes with no headers.
+            send_stream_headers()
+        tail = finish()
+        if tail:
+            write_chunk(tail)
         self.wfile.write(b"0\r\n\r\n")
 
 

@@ -464,3 +464,85 @@ def test_webui_convert_stream_bad_request_before_headers(webui_server):
     assert resp.status == 400
     assert b"source" in resp.read()
     conn.close()
+
+
+def _stream_request(webui_server, extra_fields, n=9000):
+    import http.client
+    from urllib.parse import urlparse
+
+    fields = {
+        "mode": "vc",
+        "diffusion_steps": 5,
+        "source": ("s.wav", _wav_bytes(n=n)),
+        "target": ("r.wav", _wav_bytes()),
+    }
+    fields.update(extra_fields)
+    body, ctype = _multipart(fields)
+    u = urlparse(webui_server)
+    conn = http.client.HTTPConnection(u.hostname, u.port)
+    conn.request("POST", "/api/convert_stream", body=body,
+                 headers={"Content-Type": ctype})
+    return conn, conn.getresponse()
+
+
+def test_webui_convert_stream_flac(webui_server):
+    """stream_format=flac: >=2 compressed chunks arrive and the reassembled
+    stream decodes bit-exactly to the wav stream's PCM (the reference
+    streams compressed mp3 chunks the same way, app.py:167-169; FLAC is the
+    built-in compressed format here — no ffmpeg/lame in this image)."""
+    import numpy as np
+
+    from seedvc_tpu.dsp.flac import decode_flac
+
+    conn, resp = _stream_request(webui_server, {"stream_format": "flac"},
+                                 n=30000)
+    assert resp.status == 200
+    assert resp.headers.get("Content-Type") == "audio/flac"
+    assert resp.headers.get("Transfer-Encoding") == "chunked"
+    reads = []
+    while True:
+        chunk = resp.read(1024)
+        if not chunk:
+            break
+        reads.append(chunk)
+    conn.close()
+    assert len(reads) >= 2  # compressed stream arrives incrementally
+    blob = b"".join(reads)
+    sr, dec = decode_flac(blob)
+    assert sr == 22050
+
+    # same request as wav for the PCM ground truth
+    conn, resp = _stream_request(webui_server, {"stream_format": "wav"},
+                                 n=30000)
+    wav = resp.read()
+    conn.close()
+    pcm_ref = np.frombuffer(wav[44:], "<i2")
+    np.testing.assert_array_equal(dec[:, 0], pcm_ref)
+    # and it actually compresses vs the raw stream
+    assert len(blob) < len(wav) * 0.9
+
+
+def test_webui_convert_stream_mp3_gated_on_ffmpeg(webui_server):
+    """mp3 streaming shells into ffmpeg when present; without it the
+    request fails with a clean 400 BEFORE chunked headers (never corrupted
+    framing)."""
+    import shutil
+
+    conn, resp = _stream_request(webui_server, {"stream_format": "mp3"})
+    if shutil.which("ffmpeg") is None:
+        assert resp.status == 400
+        assert b"ffmpeg" in resp.read()
+    else:
+        assert resp.status == 200
+        assert resp.headers.get("Content-Type") == "audio/mpeg"
+        data = resp.read()
+        assert len(data) > 0  # mp3 frames (0xFFE sync or ID3)
+        assert data[:3] == b"ID3" or data[0] == 0xFF
+    conn.close()
+
+
+def test_webui_convert_stream_unknown_format_is_400(webui_server):
+    conn, resp = _stream_request(webui_server, {"stream_format": "ogg"})
+    assert resp.status == 400
+    assert b"stream_format" in resp.read()
+    conn.close()
