@@ -385,6 +385,60 @@ def bench_train_step(B=4, T=512, Ts=256, compute_dtype=None):
     return row
 
 
+def bench_train_onfly(B=4, steps=12, prefetch=2):
+    """On-the-fly v1 fine-tuning throughput: frozen-encoder features are
+    extracted per step (whisper 30 s forward, mel, CAMPPlus) instead of
+    precomputed, with the prefetch worker (``train/prefetch.py``)
+    overlapping feature prep and the SPMD train step.  Compare against
+    ``bench_train_step`` (precomputed features) to see the feature-pipeline
+    overhead; ``prefetch=0`` gives the reference-style synchronous schedule
+    (``train.py:762-894``)."""
+    import dataclasses as dc
+    import os
+    import tempfile
+    import time as _time
+
+    from seedvc_tpu.apps.audio_io import save_wav
+    from seedvc_tpu.core.config import get_preset
+    from seedvc_tpu.train.dataset import FTDataset
+    from seedvc_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = get_preset("whisper_small_wavenet")
+    sr = cfg.preprocess_params.sr
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="onfly_")
+    # clips 5.7-5.86 s: mel lens 491-505 all land in the SAME 128-frame
+    # bucket (512) and the same 6 s whisper bucket -> zero recompiles after
+    # warmup
+    for i in range(2 * B):
+        secs = 5.7 + 0.02 * i
+        t = np.arange(int(secs * sr)) / sr
+        w = (0.3 * np.sin(2 * np.pi * 150 * t)
+             + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        save_wav(os.path.join(tmp, f"c{i}.wav"), w, sr)
+
+    warm = 3
+    tcfg = TrainerConfig(run_dir="", batch_size=B, epochs=10 ** 6,
+                         max_steps=warm, log_interval=10 ** 9,
+                         save_interval=10 ** 9, mel_bucket=128,
+                         prefetch=prefetch)
+    trainer = Trainer(cfg, tcfg)
+    ds = FTDataset(tmp, sr, batch_size=B)
+    t0 = _time.perf_counter()
+    trainer.train(ds)  # compile + warm
+    print(f"  [train_onfly] compile+warm ({warm} steps): "
+          f"{_time.perf_counter() - t0:.1f}s")
+    trainer.tcfg = dc.replace(tcfg, max_steps=warm + steps)
+    t0 = _time.perf_counter()
+    final = trainer.train(ds)
+    dt = (_time.perf_counter() - t0) / (final - warm)
+    tag = f"prefetch{prefetch}"
+    row = report(f"train_onfly {tag} B{B} ({steps} steps)", dt, 0)
+    print(json.dumps({"name": f"train_onfly_steps_per_s_{tag}",
+                      "value": round(1.0 / dt, 2)}))
+    return row
+
+
 ALL = {
     "attention": bench_attention,
     "attention_xla": lambda: bench_attention(flash=False),
@@ -400,6 +454,8 @@ ALL = {
     "serving_b2": lambda: bench_serving(B=2),
     "train_step": bench_train_step,
     "train_step_bf16": lambda: bench_train_step(compute_dtype=jnp.bfloat16),
+    "train_onfly": bench_train_onfly,
+    "train_onfly_sync": lambda: bench_train_onfly(prefetch=0),
 }
 
 

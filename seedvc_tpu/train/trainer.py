@@ -77,6 +77,10 @@ class TrainerConfig:
     fsdp: bool = False
     perturb_min: float = 0.85
     perturb_max: float = 1.15
+    # Batches prepared ahead on a worker thread so feature extraction
+    # (whisper/OpenVoice/fbank/RMVPE) overlaps the device step instead of
+    # serializing with it like the reference (train.py:762-894).  0 = off.
+    prefetch: int = 2
     seed: int = 1234
 
 
@@ -183,6 +187,10 @@ class Trainer:
                      else jnp.float32)
 
         def _whisper_fwd(p, w):
+            # pad to the 30 s whisper window ON DEVICE: the host ships only
+            # the (1 s-bucketed) true waves — ~5x less host->device traffic
+            # than shipping the zero-padded window
+            w = jnp.pad(w, ((0, 0), (0, 30 * 16000 - w.shape[1])))
             mel = whisper_log_mel(w)
             if enc_dtype != jnp.float32:
                 p = jax.tree_util.tree_map(
@@ -247,11 +255,17 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _semantic(self, waves_16k: np.ndarray, lens_16k: np.ndarray) -> jnp.ndarray:
-        """Whisper features for a batch, padded to the 30 s window."""
+        """Whisper features for a batch (30 s window, padded on device).
+
+        The host ships the waves bucketed to 1 s so only a few program
+        shapes compile; the zero-pad to 30 s happens inside the jit."""
         B = waves_16k.shape[0]
         chunk = 30 * 16000
-        padded = np.zeros((B, chunk), np.float32)
-        padded[:, : waves_16k.shape[1]] = waves_16k[:, :chunk]
+        bucket = 16000
+        n = min(waves_16k.shape[1], chunk)
+        T = min(-(-n // bucket) * bucket, chunk)
+        padded = np.zeros((B, T), np.float32)
+        padded[:, :n] = waves_16k[:, :n]
         return self._jit_whisper(self.whisper_params, jnp.asarray(padded))
 
     def _perturb(self, waves_16k: np.ndarray, rng: np.random.Generator,
@@ -297,9 +311,12 @@ class Trainer:
             jnp.full((B,), spec_len, jnp.int32), se_tgt, noise)
         return np.asarray(resample(converted, self.sr, 16000))
 
-    def prepare_batch(self, batch: Batch, rng: np.random.Generator) -> dict:
+    def prepare_batch(self, batch: Batch, rng: np.random.Generator,
+                      step: Optional[int] = None) -> dict:
         tb = self.tcfg
         B = batch.waves.shape[0]
+        if step is None:
+            step = int(self.state.step)
 
         mel_lens = batch.wave_lengths // self.hop
         max_len = int(mel_lens.max())
@@ -315,8 +332,7 @@ class Trainer:
 
         s_ori = self._semantic(batch.waves_16k, batch.wave_16k_lengths)
         s_alt = self._semantic(
-            self._perturb(batch.waves_16k, rng, waves_sr=waves,
-                          step=int(self.state.step)),
+            self._perturb(batch.waves_16k, rng, waves_sr=waves, step=step),
             batch.wave_16k_lengths)
         # Crop semantic features to the batch-true token count (the
         # reference crops to len_16k//320+1, train.py:702; the repo's
@@ -468,14 +484,25 @@ class Trainer:
         return float(np.mean(losses)) if losses else float("nan")
 
     def train(self, dataset: FTDataset, val_dataset: FTDataset = None):
+        from seedvc_tpu.train.prefetch import prefetched
+
         tb = self.tcfg
         rng = np.random.default_rng(tb.seed)
         key = jax.random.PRNGKey(tb.seed)
         step = int(self.state.step)
         t0 = time.time()
         for epoch in range(tb.epochs):
-            for batch in dataset.batches(shuffle=True, epoch=epoch):
-                feats = self.prepare_batch(batch, rng)
+            # Feature prep runs on a worker thread one batch ahead
+            # (train/prefetch.py); the worker owns rng and the step counter
+            # so deterministic picks match the synchronous schedule.
+            prep_step = iter(range(step, step + 10 ** 9))
+
+            def _prep(batch, _steps=prep_step):
+                return self.prepare_batch(batch, rng, step=next(_steps))
+
+            for feats in prefetched(dataset.batches(shuffle=True,
+                                                    epoch=epoch),
+                                    _prep, depth=tb.prefetch):
                 key, sub = jax.random.split(key)
                 self.state, metrics = self.step_fn(self.state, feats, sub)
                 step += 1

@@ -73,6 +73,9 @@ class TrainerV2Config:
     # ZeRO-3/FSDP analogue: scatter params + optimizer moments over the data
     # axis (parallel/sharding.py::_add_fsdp_axis); composes with TP.
     fsdp: bool = False
+    # Batches prepared ahead on a worker thread (train/prefetch.py) so SSL/
+    # quantizer/style extraction overlaps the device step.  0 = off.
+    prefetch: int = 2
 
 
 class V2TrainState(NamedTuple):
@@ -376,8 +379,11 @@ class TrainerV2:
 
     def train_step(self, batch: Batch, rng) -> dict:
         feats, dims = self.prepare_batch(batch)
-        self.state, metrics = self._step(self.state, self._shard_feats(feats),
-                                         rng, self.teacher_params, **dims)
+        return self._device_step(self._shard_feats(feats), dims, rng)
+
+    def _device_step(self, sharded_feats: dict, dims: dict, rng) -> dict:
+        self.state, metrics = self._step(self.state, sharded_feats, rng,
+                                         self.teacher_params, **dims)
         return {k: float(v) for k, v in metrics.items()}
 
     def validate(self, val_dataset) -> float:
@@ -445,10 +451,21 @@ class TrainerV2:
         step = int(self.state.step)
         start_step = step
         t0 = time.time()
+        from seedvc_tpu.train.prefetch import prefetched
+
+        def _prep(batch):
+            feats, dims = self.prepare_batch(batch)
+            return self._shard_feats(feats), dims
+
         for epoch in range(tcfg.epochs):
-            for batch in dataset.batches(shuffle=True, epoch=epoch):
+            # Feature prep (SSL forward, quantizers, duration reduction,
+            # style) runs one batch ahead on a worker thread and overlaps
+            # the device step (train/prefetch.py).
+            for feats, dims in prefetched(
+                    dataset.batches(shuffle=True, epoch=epoch), _prep,
+                    depth=tcfg.prefetch):
                 key, sub = jax.random.split(key)
-                metrics = self.train_step(batch, sub)
+                metrics = self._device_step(feats, dims, sub)
                 step += 1
                 if step % tcfg.log_interval == 0:
                     parts = " ".join(f"{k} {v:.4f}"

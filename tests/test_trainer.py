@@ -339,3 +339,23 @@ def test_trainer_bf16_compute(wav_dir, tmp_path):
     assert trainer.ema_loss is not None and np.isfinite(trainer.ema_loss)
     for leaf in jax.tree_util.tree_leaves(trainer.state.params):
         assert leaf.dtype == jnp.float32
+
+
+@pytest.mark.slow
+def test_trainer_prefetch_matches_synchronous(wav_dir, tmp_path):
+    """Prefetched feature prep (worker thread, train/prefetch.py) reproduces
+    the synchronous schedule exactly: same rng consumption order, same
+    deterministic step picks -> identical loss trajectory."""
+    cfg = tiny_cfg()
+    wcfg = WhisperEncoderConfig(d_model=32, n_layers=1, n_heads=4, ffn_dim=64)
+    emas = []
+    for depth in (0, 2):
+        tcfg = TrainerConfig(
+            data_path=wav_dir, run_dir=str(tmp_path / f"run{depth}"),
+            batch_size=2, epochs=2, max_steps=4, log_interval=100,
+            save_interval=1000, mel_bucket=64, prefetch=depth)
+        trainer = Trainer(cfg, tcfg, whisper_cfg=wcfg, n_model=4)
+        ds = FTDataset(wav_dir, 22050, batch_size=2)
+        assert trainer.train(ds) == 4
+        emas.append(trainer.ema_loss)
+    assert emas[0] == emas[1]
