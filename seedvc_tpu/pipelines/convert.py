@@ -219,6 +219,11 @@ class VoiceConverter:
         else:
             @jax.jit
             def whisper_fn(params, wave_16k):
+                # zero-pad to the 30 s window ON DEVICE (the host ships the
+                # 1 s-bucketed true wave: ~5x less tunnel traffic; the HF
+                # extractor zero-pads identically)
+                wave_16k = jnp.pad(
+                    wave_16k, ((0, 0), (0, 30 * 16000 - wave_16k.shape[1])))
                 mel = whisper_log_mel(wave_16k)
                 params, mel = _enc_cast(params, mel)
                 return whisper.apply(
@@ -240,11 +245,12 @@ class VoiceConverter:
         n_mels_ = n_mels
         W = source_window
         cd = self.compute_dtype
+        prompt_cap = self.prompt_cap
 
         @partial(jax.jit, static_argnames=("n_steps", "cfg_rate"))
-        def sample_vocode_fn(params, voc_params, key, cond_cat, total_len,
-                             prompt_mel, prompt_len, style, n_steps,
-                             cfg_rate):
+        def sample_vocode_fn(params, voc_params, key, chunk, prompt_cond,
+                             total_len, prompt_mel, prompt_len, style,
+                             n_steps, cfg_rate):
             """CFM sampling + generated-region slice + vocoder as ONE
             program: halves the per-chunk device dispatches (each dispatch
             costs ~10-25 ms through the axon tunnel).  Sampling runs in
@@ -252,14 +258,32 @@ class VoiceConverter:
             hoists the casts out of the scan); the vocoder stays fp32.
             ``prompt_len`` is a TRACED scalar (``lax.dynamic_slice`` takes
             traced starts), so every distinct reference length reuses the
-            same compiled program."""
+            same compiled program.
+
+            The ``[prompt ‖ source chunk]`` context is assembled HERE, on
+            device, from the fixed-shape prompt buffers (padded to
+            ``prompt_cap``) and the W-frame chunk: the host never touches
+            the conditioning after regulation, so the per-chunk
+            host->device traffic is a few scalars instead of ~10 MB of f32
+            context through the tunnel."""
             if cd != jnp.float32:
                 params = jax.tree_util.tree_map(
                     lambda a: a.astype(cd) if a.dtype == jnp.float32 else a,
                     params)
-                cond_cat = cond_cat.astype(cd)
+                chunk = chunk.astype(cd)
+                prompt_cond = prompt_cond.astype(cd)
                 prompt_mel = prompt_mel.astype(cd)
                 style = style.astype(cd)
+            # context assembly: prompt (<= prompt_cap, zero tail) then the
+            # chunk at the traced prompt offset (overwrites the zero tail)
+            cond_cat = jnp.zeros((1, context, chunk.shape[-1]), chunk.dtype)
+            cond_cat = jax.lax.dynamic_update_slice(cond_cat, prompt_cond,
+                                                    (0, 0, 0))
+            cond_cat = jax.lax.dynamic_update_slice(cond_cat, chunk,
+                                                    (0, prompt_len, 0))
+            pm = jnp.zeros((1, context, n_mels_), prompt_mel.dtype)
+            prompt_mel = jax.lax.dynamic_update_slice(pm, prompt_mel,
+                                                      (0, 0, 0))
 
             def estimate(x, p, l, t, s, m, sc=None):
                 return vc.apply({"params": params}, x, p, l, t, s, m,
@@ -283,9 +307,18 @@ class VoiceConverter:
                                      jax.random.PRNGKey(0))
             return vocoder.apply({"params": voc_params}, gen)
 
+        @jax.jit
+        def chunk_fn(buf, start):
+            # tiny per-source-length program; the big sampler program below
+            # compiles ONCE because its chunk input has the static shape
+            # (1, W, C) regardless of source length
+            return jax.lax.dynamic_slice(buf, (0, start, 0),
+                                         (1, W, buf.shape[-1]))
+
         self._whisper_fn = whisper_fn
         self._style_fn = style_fn
         self._regulate_fn = regulate_fn
+        self._chunk_fn = chunk_fn
         self._sample_vocode_fn = sample_vocode_fn
 
     # ------------------------------------------------------------------
@@ -311,8 +344,11 @@ class VoiceConverter:
                 return feats[:, : len(piece) // 320]
         else:
             def encode(piece: np.ndarray) -> jax.Array:
-                padded = np.zeros(chunk, np.float32)
-                padded[: len(piece)] = piece
+                # 1 s host buckets; the jitted encoder pads to 30 s on device
+                n = min(len(piece), chunk)
+                T_b = min(-(-max(n, 1) // 16000) * 16000, chunk)
+                padded = np.zeros(T_b, np.float32)
+                padded[:n] = piece[:n]
                 feats = self._whisper_fn(self.whisper_params,
                                          jnp.asarray(padded[None]))
                 return feats[:, : len(piece) // 320 + 1]
@@ -460,18 +496,25 @@ class VoiceConverter:
             prompt_cond = sync(self._regulate_bucketed(jnp.asarray(s_ori),
                                                        p_len, f0_ori))
 
-        # Static context: [prompt (p_len) ‖ source chunk (<= source_window)]
-        # padded to self.context frames.
-        prompt_mel_pad = np.zeros((1, self.context, self.n_mels), np.float32)
-        prompt_mel_pad[:, :p_len] = np.asarray(mel2)
-
+        # Fixed-shape device-resident conditioning: prompt buffers padded to
+        # prompt_cap frames, source conditioning padded to a whole number of
+        # W-frame chunks (plus one spare so the last dynamic_slice never
+        # clamps).  All padding runs on device — the host never re-ships the
+        # conditioning per chunk.
         W = self.source_window
+        C_reg = self.cfg.model_params.length_regulator.channels
+        prompt_cond_pad = jnp.pad(
+            prompt_cond, ((0, 0), (0, self.prompt_cap - p_len), (0, 0)))
+        prompt_mel_cap = jnp.pad(
+            mel2, ((0, 0), (0, self.prompt_cap - p_len), (0, 0)))
+        L = (-(-target_len // W) + 1) * W
+        cond_buf = jnp.pad(cond, ((0, 0), (0, L - target_len), (0, 0)))
+
         prev_tail: Optional[np.ndarray] = None
         overlap_wave = OVERLAP_FRAMES * self.hop
         processed = 0
         n_chunks = 0
         emitted = 0
-        cond_np = np.asarray(cond)
         key = jax.random.PRNGKey(seed)
 
         def _stats():
@@ -485,22 +528,16 @@ class VoiceConverter:
             }
 
         while processed < target_len:
-            chunk = cond_np[:, processed: processed + W]
-            w = chunk.shape[1]
+            w = min(W, target_len - processed)
             is_last = processed + W >= target_len
-
-            cat = np.zeros((1, self.context,
-                            self.cfg.model_params.length_regulator.channels),
-                           np.float32)
-            cat[:, :p_len] = np.asarray(prompt_cond)
-            cat[:, p_len: p_len + w] = chunk
 
             key, sub = jax.random.split(key)
             with timer("sample+vocode"):
+                chunk = self._chunk_fn(cond_buf, jnp.asarray(processed))
                 wave = np.asarray(self._sample_vocode_fn(
-                    self.vc_params, self.vocoder_params, sub,
-                    jnp.asarray(cat), jnp.array([p_len + w]),
-                    jnp.asarray(prompt_mel_pad), jnp.asarray(p_len), style,
+                    self.vc_params, self.vocoder_params, sub, chunk,
+                    prompt_cond_pad, jnp.array([p_len + w]),
+                    prompt_mel_cap, jnp.asarray(p_len), style,
                     diffusion_steps, cfg_rate))[0]
             wave = wave[: w * self.hop]
 

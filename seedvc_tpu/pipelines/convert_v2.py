@@ -195,19 +195,30 @@ class VoiceConverterV2:
 
         @partial(jax.jit, static_argnames=("n_steps", "r0",
                                            "r1", "random_voice"))
-        def sample_vocode_fn(p, p_voc, key, cond, total_len, prompt_mel,
-                             prompt_len, style, n_steps, r0, r1,
+        def sample_vocode_fn(p, p_voc, key, chunk, prompt_cond, total_len,
+                             prompt_mel, prompt_len, style, n_steps, r0, r1,
                              random_voice):
             """Multi-cond CFG sampling + slice + vocoder as ONE dispatch
             (same fusion as the v1 pipeline); CFM in bf16 on TPU, vocoder
-            fp32."""
+            fp32.  The ``[prompt ‖ chunk]`` context is assembled on device
+            from the prompt_cap-padded prompt buffers and the W-frame chunk
+            (the host never re-ships conditioning per chunk)."""
             if cd != jnp.float32:
                 p = jax.tree_util.tree_map(
                     lambda a: a.astype(cd) if a.dtype == jnp.float32 else a,
                     p)
-                cond = cond.astype(cd)
+                chunk = chunk.astype(cd)
+                prompt_cond = prompt_cond.astype(cd)
                 prompt_mel = prompt_mel.astype(cd)
                 style = style.astype(cd)
+            context = cfg.context_frames
+            cond = jnp.zeros((1, context, chunk.shape[-1]), chunk.dtype)
+            cond = jax.lax.dynamic_update_slice(cond, prompt_cond, (0, 0, 0))
+            cond = jax.lax.dynamic_update_slice(cond, chunk,
+                                                (0, prompt_len, 0))
+            pm = jnp.zeros((1, context, cfg.n_mels), prompt_mel.dtype)
+            prompt_mel = jax.lax.dynamic_update_slice(pm, prompt_mel,
+                                                      (0, 0, 0))
 
             def estimate(x, px, l, t, s, m, sc=None):
                 return self.dit.apply({"params": p}, x, px, l, t, s, m,
@@ -229,6 +240,14 @@ class VoiceConverterV2:
                 (1, W, cfg.n_mels)).astype(jnp.float32)
             return self.vocoder.apply({"params": p_voc}, gen)
 
+        @jax.jit
+        def chunk_fn(buf, start):
+            # tiny per-source-length program; the sampler program compiles
+            # once because its chunk input is statically (1, W, C)
+            return jax.lax.dynamic_slice(buf, (0, start, 0),
+                                         (1, W, buf.shape[-1]))
+
+        self._chunk_fn = chunk_fn
         self._sample_vocode_fn = sample_vocode_fn
         self._content_fn = content_fn
         self._style_fn = style_fn
@@ -359,12 +378,16 @@ class VoiceConverterV2:
         cond = self._regulate_tokens(self._cfm_reg_fn, self.p_cfm_reg,
                                      wide_tokens, target_len)
 
-        # chunked CFM like v1 (fixed context)
+        # chunked CFM like v1 (fixed context); conditioning stays on device
         context = cfg.context_frames
         W = context - cfg.prompt_cap_frames
-        prompt_mel_pad = np.zeros((1, context, cfg.n_mels), np.float32)
-        prompt_mel_pad[:, :p_len] = np.asarray(mel2)
-        cond_np = np.asarray(cond)
+        cap = cfg.prompt_cap_frames
+        prompt_mel_cap = jnp.pad(mel2, ((0, 0), (0, cap - p_len), (0, 0)))
+        prompt_cond_pad = jnp.pad(jnp.asarray(prompt_cond),
+                                  ((0, 0), (0, cap - p_len), (0, 0)))
+        L = (-(-target_len // W) + 1) * W
+        cond_buf = jnp.pad(jnp.asarray(cond),
+                           ((0, 0), (0, L - target_len), (0, 0)))
         prev_tail = None
         emitted = 0
         overlap_wave = OVERLAP_FRAMES * cfg.hop
@@ -377,17 +400,13 @@ class VoiceConverterV2:
                     "wall_seconds": dt,
                     "wide_tokens": int(wide_tokens.shape[1])}
         while processed < target_len:
-            chunk = cond_np[:, processed: processed + W]
-            w = chunk.shape[1]
+            w = min(W, target_len - processed)
             is_last = processed + W >= target_len
-            cat = np.zeros((1, context, cond_np.shape[-1]), np.float32)
-            cat[:, :p_len] = np.asarray(prompt_cond)
-            cat[:, p_len: p_len + w] = chunk
             key, sub = jax.random.split(key)
+            chunk = self._chunk_fn(cond_buf, jnp.asarray(processed))
             wave = np.asarray(self._sample_vocode_fn(
-                self.p_dit, self.p_vocoder, sub, jnp.asarray(cat),
-                jnp.array([p_len + w]), jnp.asarray(prompt_mel_pad),
-                jnp.asarray(p_len),
+                self.p_dit, self.p_vocoder, sub, chunk, prompt_cond_pad,
+                jnp.array([p_len + w]), prompt_mel_cap, jnp.asarray(p_len),
                 style, diffusion_steps, float(similarity_cfg_rate),
                 float(intelligibility_cfg_rate),
                 bool(anonymization_only)))[0]
