@@ -75,7 +75,7 @@ def bench_e2e(n_steps: int = 25) -> dict:
         "value": round(audio_s / best, 3),
         "unit": "audio_seconds_per_second",
         "rtf": round(best / audio_s, 5),
-        "stages_profiled_s": {k: round(v, 4)
+        "stages_profiled_s": {k: round(v["seconds"], 4)
                               for k, v in pstats["stages"].items()},
     }
 

@@ -21,6 +21,17 @@ import numpy as np
 from flax import linen as nn
 
 
+
+def _best_block_q(T: int, preferred: int) -> int:
+    """Largest usable query-block: the tuned size when it tiles T exactly,
+    else the biggest power-of-two divisor of T in {512, 1024}."""
+    if T % preferred == 0:
+        return preferred
+    for b in (1024, 512):
+        if T % b == 0:
+            return b
+    return 512
+
 class RMSNorm(nn.Module):
     """RMS norm computed in fp32 then cast back (reference ``:280-285``)."""
 
@@ -145,7 +156,7 @@ class Attention(nn.Module):
 
             lens = (jnp.sum(mask[:, 0, -1, :].astype(jnp.int32), axis=-1)
                     if mask is not None else None)
-            bq = self.flash_block_q if T % self.flash_block_q == 0 else 512
+            bq = _best_block_q(T, self.flash_block_q)
             cos, sin = rope_full
             out = dit_attention_fused_diff(
                 q.reshape(B, T, self.n_head, hd).transpose(0, 2, 1, 3),
@@ -181,8 +192,9 @@ class Attention(nn.Module):
             else:
                 lens = None
             # honor the tuned flash_block_q when it divides T (the custom
-            # kernel requires exact tiling); otherwise fall back to 512.
-            bq = self.flash_block_q if T % self.flash_block_q == 0 else 512
+            # kernel requires exact tiling); otherwise the largest
+            # power-of-two divisor (adaptive contexts use 1024/2048 windows).
+            bq = _best_block_q(T, self.flash_block_q)
             out = dit_attention_diff(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), lens, block_q=bq)

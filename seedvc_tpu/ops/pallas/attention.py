@@ -225,6 +225,12 @@ def dit_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     B, H, T, d = q.shape
     if T % block_q:
         raise ValueError(f"T={T} not a multiple of block_q={block_q}")
+    # Same scoped-VMEM guard as the fused kernel: the (bq, T) fp32 logit and
+    # prob tiles dominate; halve block_q until the tile budget fits.
+    budget = 10 * 1024 * 1024
+    per_row = T * (4 + q.dtype.itemsize)
+    while block_q > 128 and (block_q * per_row > budget or T % block_q):
+        block_q //= 2
     scale = 1.0 / math.sqrt(d)
     if lens is None:
         lens = jnp.full((B,), T, jnp.int32)

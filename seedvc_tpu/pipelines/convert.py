@@ -42,6 +42,43 @@ from seedvc_tpu.models.whisper import (
 OVERLAP_FRAMES = 16  # reference overlap_frame_len (seed_vc_wrapper.py:52)
 
 
+def plan_chunks(target_len: int, p_len: int, max_context: int,
+                prompt_cap: int, align_offset: int = 0) -> tuple[int, int, int]:
+    """Pick ``(prompt_cap_b, context, W)`` for one conversion.
+
+    The reference always samples a full 30 s context window even when the
+    tail chunk carries a few seconds of real audio
+    (``inference.py:470-528``).  Sampler+vocoder cost scales with the
+    static context, so instead: bucket the real prompt length to 256
+    frames, take the minimal chunk count at the max window, spread the
+    source evenly across those chunks, and round the needed context up to
+    the next flash-friendly 512 multiple.  A 30 s source with a 5 s
+    reference then runs two 2048-frame programs instead of two 2560-frame
+    ones (~25% less sampler+vocoder work); short utterances compile a
+    single small fast program.
+
+    Each (context, W) variant is a separate XLA compile (cached per
+    process) — serving setups should warm their expected buckets.
+    Contexts <= 512 keep the configured static window (tiny-config tests;
+    the flash path needs 512 multiples anyway).
+
+    ``align_offset``: extra attention positions the model prepends (the v2
+    DiT carries style+time prefix tokens), so flash-friendly contexts are
+    ``512k - align_offset``.
+    """
+    if max_context <= 512:
+        return prompt_cap, max_context, max_context - prompt_cap
+    cap = min(-(-max(p_len, 1) // 256) * 256, prompt_cap)
+    W_max = max_context - cap
+    n = max(1, -(-target_len // W_max))
+    span = target_len + (n - 1) * OVERLAP_FRAMES
+    w = -(-span // n)
+    context = min(
+        -(-(cap + w + align_offset) // 512) * 512 - align_offset,
+        max_context)
+    return cap, context, context - cap
+
+
 def cosine_crossfade(chunk1: np.ndarray, chunk2: np.ndarray, overlap: int) -> np.ndarray:
     """Reference ``crossfade`` (``inference.py:343-350``)."""
     fade_out = np.cos(np.linspace(0, np.pi / 2, overlap)) ** 2
@@ -243,14 +280,12 @@ class VoiceConverter:
                             method=vc.regulate)[0]
 
         n_mels_ = n_mels
-        W = source_window
         cd = self.compute_dtype
-        prompt_cap = self.prompt_cap
 
-        @partial(jax.jit, static_argnames=("n_steps", "cfg_rate"))
+        @partial(jax.jit, static_argnames=("n_steps", "cfg_rate", "context"))
         def sample_vocode_fn(params, voc_params, key, chunk, prompt_cond,
                              total_len, prompt_mel, prompt_len, style,
-                             n_steps, cfg_rate):
+                             n_steps, cfg_rate, context):
             """CFM sampling + generated-region slice + vocoder as ONE
             program: halves the per-chunk device dispatches (each dispatch
             costs ~10-25 ms through the axon tunnel).  Sampling runs in
@@ -301,17 +336,16 @@ class VoiceConverter:
                 precompute_fn=precompute)
             gen = jax.lax.dynamic_slice(
                 mel_out, (0, prompt_len, 0),
-                (1, W, n_mels_)).astype(jnp.float32)
+                (1, chunk.shape[1], n_mels_)).astype(jnp.float32)
             if self.vocoder_type == "hifigan":
                 return vocoder.apply({"params": voc_params}, gen,
                                      jax.random.PRNGKey(0))
             return vocoder.apply({"params": voc_params}, gen)
 
-        @jax.jit
-        def chunk_fn(buf, start):
-            # tiny per-source-length program; the big sampler program below
-            # compiles ONCE because its chunk input has the static shape
-            # (1, W, C) regardless of source length
+        @partial(jax.jit, static_argnames=("W",))
+        def chunk_fn(buf, start, W):
+            # tiny per-source-length program; the big sampler program above
+            # compiles per (context, W) VARIANT, not per source length
             return jax.lax.dynamic_slice(buf, (0, start, 0),
                                          (1, W, buf.shape[-1]))
 
@@ -387,6 +421,9 @@ class VoiceConverter:
         out = self._regulate_fn(self.vc_params, s, jnp.array([true_len]),
                                 bucket_len, f0)
         return out[:, :true_len]
+
+    def plan_chunks(self, target_len: int, p_len: int) -> tuple[int, int, int]:
+        return plan_chunks(target_len, p_len, self.context, self.prompt_cap)
 
     def extract_f0(self, src_16k: np.ndarray, ref_16k: np.ndarray, *,
                    auto_f0_adjust: bool = True, pitch_shift: float = 0.0):
@@ -497,16 +534,16 @@ class VoiceConverter:
                                                        p_len, f0_ori))
 
         # Fixed-shape device-resident conditioning: prompt buffers padded to
-        # prompt_cap frames, source conditioning padded to a whole number of
-        # W-frame chunks (plus one spare so the last dynamic_slice never
-        # clamps).  All padding runs on device — the host never re-ships the
-        # conditioning per chunk.
-        W = self.source_window
-        C_reg = self.cfg.model_params.length_regulator.channels
+        # the bucketed prompt cap, source conditioning padded to a whole
+        # number of W-frame chunks (plus one spare so the last dynamic_slice
+        # never clamps).  All padding runs on device — the host never
+        # re-ships the conditioning per chunk.  plan_chunks picks the
+        # smallest flash-friendly (context, W) for THIS conversion.
+        cap_b, context, W = self.plan_chunks(target_len, p_len)
         prompt_cond_pad = jnp.pad(
-            prompt_cond, ((0, 0), (0, self.prompt_cap - p_len), (0, 0)))
+            prompt_cond, ((0, 0), (0, cap_b - p_len), (0, 0)))
         prompt_mel_cap = jnp.pad(
-            mel2, ((0, 0), (0, self.prompt_cap - p_len), (0, 0)))
+            mel2, ((0, 0), (0, cap_b - p_len), (0, 0)))
         L = (-(-target_len // W) + 1) * W
         cond_buf = jnp.pad(cond, ((0, 0), (0, L - target_len), (0, 0)))
 
@@ -533,12 +570,12 @@ class VoiceConverter:
 
             key, sub = jax.random.split(key)
             with timer("sample+vocode"):
-                chunk = self._chunk_fn(cond_buf, jnp.asarray(processed))
+                chunk = self._chunk_fn(cond_buf, jnp.asarray(processed), W)
                 wave = np.asarray(self._sample_vocode_fn(
                     self.vc_params, self.vocoder_params, sub, chunk,
                     prompt_cond_pad, jnp.array([p_len + w]),
                     prompt_mel_cap, jnp.asarray(p_len), style,
-                    diffusion_steps, cfg_rate))[0]
+                    diffusion_steps, cfg_rate, context))[0]
             wave = wave[: w * self.hop]
 
             n_chunks += 1

@@ -189,15 +189,14 @@ class VoiceConverterV2:
             return self.ar_reg.apply({"params": p}, tokens, ylens,
                                      target_len, x_lens=x_lens)[0]
 
-        W = cfg.context_frames - cfg.prompt_cap_frames
         cd = (jnp.bfloat16 if jax.default_backend() == "tpu"
               else jnp.float32)
 
         @partial(jax.jit, static_argnames=("n_steps", "r0",
-                                           "r1", "random_voice"))
+                                           "r1", "random_voice", "context"))
         def sample_vocode_fn(p, p_voc, key, chunk, prompt_cond, total_len,
                              prompt_mel, prompt_len, style, n_steps, r0, r1,
-                             random_voice):
+                             random_voice, context):
             """Multi-cond CFG sampling + slice + vocoder as ONE dispatch
             (same fusion as the v1 pipeline); CFM in bf16 on TPU, vocoder
             fp32.  The ``[prompt ‖ chunk]`` context is assembled on device
@@ -211,7 +210,6 @@ class VoiceConverterV2:
                 prompt_cond = prompt_cond.astype(cd)
                 prompt_mel = prompt_mel.astype(cd)
                 style = style.astype(cd)
-            context = cfg.context_frames
             cond = jnp.zeros((1, context, chunk.shape[-1]), chunk.dtype)
             cond = jax.lax.dynamic_update_slice(cond, prompt_cond, (0, 0, 0))
             cond = jax.lax.dynamic_update_slice(cond, chunk,
@@ -237,13 +235,13 @@ class VoiceConverterV2:
                 precompute_fn=precompute)
             gen = jax.lax.dynamic_slice(
                 mel_out, (0, prompt_len, 0),
-                (1, W, cfg.n_mels)).astype(jnp.float32)
+                (1, chunk.shape[1], cfg.n_mels)).astype(jnp.float32)
             return self.vocoder.apply({"params": p_voc}, gen)
 
-        @jax.jit
-        def chunk_fn(buf, start):
+        @partial(jax.jit, static_argnames=("W",))
+        def chunk_fn(buf, start, W):
             # tiny per-source-length program; the sampler program compiles
-            # once because its chunk input is statically (1, W, C)
+            # per (context, W) variant, not per source length
             return jax.lax.dynamic_slice(buf, (0, start, 0),
                                          (1, W, buf.shape[-1]))
 
@@ -378,10 +376,11 @@ class VoiceConverterV2:
         cond = self._regulate_tokens(self._cfm_reg_fn, self.p_cfm_reg,
                                      wide_tokens, target_len)
 
-        # chunked CFM like v1 (fixed context); conditioning stays on device
-        context = cfg.context_frames
-        W = context - cfg.prompt_cap_frames
-        cap = cfg.prompt_cap_frames
+        # chunked CFM like v1; conditioning stays on device and plan_chunks
+        # picks the smallest flash-friendly (context, W) for this conversion
+        from seedvc_tpu.pipelines.convert import plan_chunks
+        cap, context, W = plan_chunks(target_len, p_len, cfg.context_frames,
+                                      cfg.prompt_cap_frames, align_offset=2)
         prompt_mel_cap = jnp.pad(mel2, ((0, 0), (0, cap - p_len), (0, 0)))
         prompt_cond_pad = jnp.pad(jnp.asarray(prompt_cond),
                                   ((0, 0), (0, cap - p_len), (0, 0)))
@@ -403,13 +402,13 @@ class VoiceConverterV2:
             w = min(W, target_len - processed)
             is_last = processed + W >= target_len
             key, sub = jax.random.split(key)
-            chunk = self._chunk_fn(cond_buf, jnp.asarray(processed))
+            chunk = self._chunk_fn(cond_buf, jnp.asarray(processed), W)
             wave = np.asarray(self._sample_vocode_fn(
                 self.p_dit, self.p_vocoder, sub, chunk, prompt_cond_pad,
                 jnp.array([p_len + w]), prompt_mel_cap, jnp.asarray(p_len),
                 style, diffusion_steps, float(similarity_cfg_rate),
                 float(intelligibility_cfg_rate),
-                bool(anonymization_only)))[0]
+                bool(anonymization_only), context))[0]
             wave = wave[: w * cfg.hop]
             if prev_tail is None:
                 if is_last:

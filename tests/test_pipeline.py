@@ -131,3 +131,33 @@ def test_seed_vc_wrapper_facade(monkeypatch):
     list(wrap.convert_voice(np.zeros(10), 22050, np.zeros(10), 22050,
                             f0_condition=True))
     assert built == [False, True]
+
+
+def test_plan_chunks_buckets():
+    """Adaptive context planning: smallest flash-friendly (512-multiple)
+    context per conversion; tiny configs (<=512) keep the static window."""
+    from tests_helpers_tiny import tiny_converter
+
+    vc = tiny_converter()  # context 192 <= 512: unchanged plan
+    assert vc.plan_chunks(1000, 50) == (vc.prompt_cap, 192,
+                                        192 - vc.prompt_cap)
+
+    # flagship geometry: context 2560, prompt_cap 768
+    vc.context, vc.prompt_cap, vc.source_window = 2560, 768, 2560 - 768
+    # 30 s source (2583 frames) + 5 s reference (430 frames): two 2048-frame
+    # programs instead of two 2560-frame ones
+    cap, ctx, W = vc.plan_chunks(2583, 430)
+    assert (cap, ctx, W) == (512, 2048, 1536)
+    # chunk coverage with 16-frame overlaps still spans the source in 2
+    n = 2
+    assert n * W - (n - 1) * 16 >= 2583
+    # short utterance: one small program
+    cap, ctx, W = vc.plan_chunks(400, 430)
+    assert (cap, ctx) == (512, 1024) and W >= 400
+    # full-length prompt caps at the configured prompt_cap
+    cap, ctx, W = vc.plan_chunks(5000, 768)
+    assert cap == 768 and ctx == 2560 and W == 1792
+    # prompt always fits its bucket
+    for p in (1, 255, 256, 257, 700, 768):
+        cap, ctx, W = vc.plan_chunks(2583, p)
+        assert cap >= p and ctx <= 2560 and ctx % 512 == 0 and W == ctx - cap
