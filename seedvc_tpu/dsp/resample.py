@@ -79,3 +79,25 @@ def resample_host(wave, orig_sr: int, new_sr: int):
     out = resample_poly(np.asarray(wave, np.float32), new_sr // g,
                         orig_sr // g, axis=-1)
     return out.astype(np.float32)
+
+
+def warp_rate(wave: jax.Array, rate) -> jax.Array:
+    """Fixed-shape random-rate time warp: ``out[i] = wave[i * rate]`` by
+    linear interpolation, zero past the warped end.
+
+    Augmentation-only resampler (NANSY-style formant/timbre perturbation in
+    the trainer fallback path): ``rate`` is a TRACED scalar, so every rate
+    reuses ONE compiled program — the polyphase :func:`resample` specialises
+    per static ratio, which for per-step random rates means a multi-second
+    XLA recompile every train step (observed ~5 s/step through the axon
+    remote-compile tunnel).  Linear interpolation is plenty for
+    augmentation; inference paths keep the windowed-sinc resampler.
+    """
+    T = wave.shape[-1]
+    pos = jnp.arange(T, dtype=jnp.float32) * rate
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, T - 1)
+    frac = pos - i0.astype(jnp.float32)
+    g0 = jnp.take(wave, i0, axis=-1)
+    g1 = jnp.take(wave, jnp.clip(i0 + 1, 0, T - 1), axis=-1)
+    out = g0 * (1.0 - frac) + g1 * frac
+    return jnp.where(pos <= T - 1, out, 0.0)

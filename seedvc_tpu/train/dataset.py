@@ -101,8 +101,20 @@ class FTDataset:
             waves, waves16 = [], []
             for i in idxs:
                 w, osr = self.load_item(int(i))
-                waves.append(np.asarray(resample(jnp.asarray(w), osr, self.sr)))
-                waves16.append(np.asarray(resample(jnp.asarray(w), osr, 16000)))
+                # Resample from a 1 s-bucketed buffer: arbitrary clip
+                # lengths would otherwise compile a new conv program per
+                # distinct length (slow through the remote-compile tunnel).
+                # The sinc kernel sees identical zeros past the true length
+                # either way, so the sliced output is bit-identical.
+                Tb = -(-len(w) // osr) * osr
+                wp = np.zeros(Tb, np.float32)
+                wp[: len(w)] = w
+                n_sr = -(-self.sr * len(w) // osr)
+                n_16 = -(-16000 * len(w) // osr)
+                waves.append(
+                    np.asarray(resample(jnp.asarray(wp), osr, self.sr))[:n_sr])
+                waves16.append(
+                    np.asarray(resample(jnp.asarray(wp), osr, 16000))[:n_16])
             maxw = max(len(w) for w in waves)
             maxw16 = max(len(w) for w in waves16)
             B = len(waves)

@@ -201,6 +201,10 @@ class Trainer:
 
         self._jit_whisper = jax.jit(_whisper_fwd)
 
+        from seedvc_tpu.dsp.resample import warp_rate
+
+        self._jit_warp = jax.jit(warp_rate)
+
         # True-length style extraction (reference loops per sample with true
         # lengths, train.py:841-869): fbank over the padded batch, per-sample
         # valid-frame mean subtraction, masked CAMPPlus — equals the
@@ -262,26 +266,30 @@ class Trainer:
         B = waves_16k.shape[0]
         chunk = 30 * 16000
         bucket = 16000
+        if (isinstance(waves_16k, jax.Array)
+                and waves_16k.shape[1] % bucket == 0
+                and waves_16k.shape[1] <= chunk):
+            # already device-resident and bucketed (perturbed path): no
+            # host round-trip
+            return self._jit_whisper(self.whisper_params, waves_16k)
         n = min(waves_16k.shape[1], chunk)
         T = min(-(-n // bucket) * bucket, chunk)
         padded = np.zeros((B, T), np.float32)
-        padded[:, :n] = waves_16k[:, :n]
+        padded[:, :n] = np.asarray(waves_16k[:, :n])
         return self._jit_whisper(self.whisper_params, jnp.asarray(padded))
 
     def _perturb(self, waves_16k: np.ndarray, rng: np.random.Generator,
                  waves_sr: Optional[np.ndarray] = None,
-                 step: int = 0) -> np.ndarray:
+                 step: int = 0) -> jnp.ndarray:
         """Timbre perturbation of the semantic-encoder input."""
         if self.openvoice_params is not None and waves_sr is not None:
             return self._perturb_openvoice(waves_sr, rng, step)
-        # fallback: random-rate resampling (formant shift)
+        # fallback: random-rate time warp (formant shift).  The rate is
+        # TRACED (dsp.resample.warp_rate): one compiled program for every
+        # rate — a per-step static resample ratio would recompile through
+        # the axon tunnel every step (measured ~5 s/step).
         rate = rng.uniform(self.tcfg.perturb_min, self.tcfg.perturb_max)
-        num = max(int(round(16000 * rate / 50) * 50), 8000)
-        warped = np.asarray(resample(jnp.asarray(waves_16k), 16000, num))
-        out = np.zeros_like(waves_16k)
-        n = min(out.shape[1], warped.shape[1])
-        out[:, :n] = warped[:, :n]
-        return out
+        return self._jit_warp(jnp.asarray(waves_16k), jnp.float32(rate))
 
     def _perturb_openvoice(self, waves_sr: np.ndarray,
                            rng: np.random.Generator, step: int) -> np.ndarray:
@@ -330,9 +338,17 @@ class Trainer:
         pos = np.arange(bucket)[None, :]
         mels = np.where((pos < mel_lens[:, None])[..., None], mels, -10.0)
 
-        s_ori = self._semantic(batch.waves_16k, batch.wave_16k_lengths)
+        # One 1 s-bucketed 16 kHz batch reused by every consumer (semantic,
+        # perturb, style, RMVPE): raw batch widths vary per batch and would
+        # compile a new style/warp program per width through the tunnel.
+        w16_T = min(-(-batch.waves_16k.shape[1] // 16000) * 16000, 30 * 16000)
+        w16b = np.zeros((B, w16_T), np.float32)
+        nb = min(w16_T, batch.waves_16k.shape[1])
+        w16b[:, :nb] = batch.waves_16k[:, :nb]
+
+        s_ori = self._semantic(w16b, batch.wave_16k_lengths)
         s_alt = self._semantic(
-            self._perturb(batch.waves_16k, rng, waves_sr=waves, step=step),
+            self._perturb(w16b, rng, waves_sr=waves, step=step),
             batch.wave_16k_lengths)
         # Crop semantic features to the batch-true token count (the
         # reference crops to len_16k//320+1, train.py:702; the repo's
@@ -351,8 +367,7 @@ class Trainer:
         # style from true lengths: valid kaldi frame counts (snip_edges)
         frame_lens = np.maximum(
             (batch.wave_16k_lengths - 400) // 160 + 1, 1).astype(np.int32)
-        style = self._jit_style(self.campplus_params,
-                                jnp.asarray(batch.waves_16k),
+        style = self._jit_style(self.campplus_params, jnp.asarray(w16b),
                                 jnp.asarray(frame_lens))
 
         feats = {
@@ -365,12 +380,9 @@ class Trainer:
         }
 
         if self.f0_condition:
-            # Batch RMVPE F0 fed to the regulator (train.py:803-814).
-            # Bucket the 16 kHz waves to 1 s so RMVPE compiles a few shapes.
-            w16_T = -(-batch.waves_16k.shape[1] // 16000) * 16000
-            w16 = np.zeros((B, w16_T), np.float32)
-            w16[:, : batch.waves_16k.shape[1]] = batch.waves_16k
-            f0 = self.rmvpe.infer_from_audio_batch(w16)  # (B, T16//160+1)
+            # Batch RMVPE F0 fed to the regulator (train.py:803-814);
+            # reuses the 1 s-bucketed batch.
+            f0 = self.rmvpe.infer_from_audio_batch(w16b)  # (B, T16//160+1)
             f0_true = max16 // 160 + 1
             feats["f0"] = jnp.asarray(f0.astype(np.float32))
             feats["f0_lens"] = jnp.asarray(min(f0_true, f0.shape[1]),

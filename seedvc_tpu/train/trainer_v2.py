@@ -349,7 +349,9 @@ class TrainerV2:
         # style from true lengths: valid kaldi frame counts (snip_edges)
         frame_lens = np.maximum(
             (batch.wave_16k_lengths - 400) // 160 + 1, 1).astype(np.int32)
-        style = self._jit_style(self.p_campplus, jnp.asarray(batch.waves_16k),
+        # reuse the 5 s-bucketed batch: raw widths vary per batch and would
+        # compile a new style program per width (masked, padding-invariant)
+        style = self._jit_style(self.p_campplus, jnp.asarray(w16),
                                 jnp.asarray(frame_lens))
 
         feats_dict = {
