@@ -288,8 +288,13 @@ class Trainer:
         # TRACED (dsp.resample.warp_rate): one compiled program for every
         # rate — a per-step static resample ratio would recompile through
         # the axon tunnel every step (measured ~5 s/step).
+        # The reference resamples 16000 -> 16000*rate (stretch by ``rate``);
+        # warp_rate's out[i] = wave[i*r] compresses by r, so pass 1/rate to
+        # keep the reference's perturb_min/max semantics.  Linear interp
+        # applies no anti-alias lowpass for rates > 1 — acceptable for an
+        # augmentation-only fallback (mild extra HF noise).
         rate = rng.uniform(self.tcfg.perturb_min, self.tcfg.perturb_max)
-        return self._jit_warp(jnp.asarray(waves_16k), jnp.float32(rate))
+        return self._jit_warp(jnp.asarray(waves_16k), jnp.float32(1.0 / rate))
 
     def _perturb_openvoice(self, waves_sr: np.ndarray,
                            rng: np.random.Generator, step: int) -> np.ndarray:
@@ -345,11 +350,16 @@ class Trainer:
         w16b = np.zeros((B, w16_T), np.float32)
         nb = min(w16_T, batch.waves_16k.shape[1])
         w16b[:, :nb] = batch.waves_16k[:, :nb]
+        # True 16 kHz lengths CLAMPED to the truncated window: FTDataset
+        # filters clips to 1-30 s so the clamp is normally a no-op, but
+        # style/F0/semantic lengths must never exceed the frames actually
+        # present in w16b (a >30 s clip would otherwise mask past the end).
+        eff_16k = np.minimum(batch.wave_16k_lengths, w16_T)
 
-        s_ori = self._semantic(w16b, batch.wave_16k_lengths)
+        s_ori = self._semantic(w16b, eff_16k)
         s_alt = self._semantic(
             self._perturb(w16b, rng, waves_sr=waves, step=step),
-            batch.wave_16k_lengths)
+            eff_16k)
         # Crop semantic features to the batch-true token count (the
         # reference crops to len_16k//320+1, train.py:702; the repo's
         # inference path crops too, pipelines/convert.py) — WITHOUT the
@@ -358,7 +368,7 @@ class Trainer:
         # inference.  Static shapes stay bucketed (64 tokens ≈ 1.28 s);
         # the exact true length rides along as a traced scalar (s_lens)
         # for the regulator's input-crop gather.
-        max16 = int(batch.wave_16k_lengths.max())
+        max16 = int(eff_16k.max())
         s_true = max16 // 320 + 1
         s_bucket = min(-(-s_true // 64) * 64,
                        min(s_ori.shape[1], s_alt.shape[1]))
@@ -366,7 +376,7 @@ class Trainer:
 
         # style from true lengths: valid kaldi frame counts (snip_edges)
         frame_lens = np.maximum(
-            (batch.wave_16k_lengths - 400) // 160 + 1, 1).astype(np.int32)
+            (eff_16k - 400) // 160 + 1, 1).astype(np.int32)
         style = self._jit_style(self.campplus_params, jnp.asarray(w16b),
                                 jnp.asarray(frame_lens))
 
@@ -499,18 +509,23 @@ class Trainer:
         from seedvc_tpu.train.prefetch import prefetched
 
         tb = self.tcfg
-        rng = np.random.default_rng(tb.seed)
         key = jax.random.PRNGKey(tb.seed)
         step = int(self.state.step)
         t0 = time.time()
         for epoch in range(tb.epochs):
             # Feature prep runs on a worker thread one batch ahead
-            # (train/prefetch.py); the worker owns rng and the step counter
-            # so deterministic picks match the synchronous schedule.
+            # (train/prefetch.py).  Each batch derives its numpy RNG from
+            # (seed, step): the augmentation stream is then a function of
+            # the step index alone, so prefetched batches abandoned by a
+            # mid-epoch stop (max_steps/early-stop) cannot shift the stream
+            # — resumed runs are bit-reproducible against the synchronous
+            # prefetch=0 schedule.
             prep_step = iter(range(step, step + 10 ** 9))
 
             def _prep(batch, _steps=prep_step):
-                return self.prepare_batch(batch, rng, step=next(_steps))
+                s = next(_steps)
+                return self.prepare_batch(
+                    batch, np.random.default_rng((tb.seed, s)), step=s)
 
             for feats in prefetched(dataset.batches(shuffle=True,
                                                     epoch=epoch),
