@@ -107,6 +107,98 @@ def test_command_baseline_runs(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# eval harness end-to-end
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_eval_main_end_to_end(tmp_path, monkeypatch):
+    """Runs ``apps/eval.py`` main() FOR REAL (VERDICT r3 next #4): synthetic
+    utterances through the actual conversion+scoring loop with a tiny
+    converter, stubbed ASR/DNSMOS adapters exercising the WER/CER and MOS
+    plumbing, and the cache/resume behaviour of converted wavs
+    (reference ``eval.py:361-368``)."""
+    import seedvc_tpu.apps.metrics as metrics_mod
+    import seedvc_tpu.pipelines.convert as convert_mod
+    from seedvc_tpu.apps import eval as eval_app
+    from seedvc_tpu.apps.audio_io import save_wav
+    from tests_helpers_tiny import tiny_converter
+
+    sr = 22050
+    rng = np.random.default_rng(0)
+    src_dir, tgt_dir, out_dir = (tmp_path / "src", tmp_path / "tgt",
+                                 tmp_path / "out")
+    src_dir.mkdir()
+    tgt_dir.mkdir()
+
+    def tone(f0, secs=1.2, seed=0):
+        t = np.arange(int(secs * sr)) / sr
+        x = sum((0.3 / h) * np.sin(2 * np.pi * f0 * h * t) for h in (1, 2))
+        return (x + 0.01 * np.random.default_rng(seed)
+                .standard_normal(len(t))).astype(np.float32)
+
+    for i in range(2):
+        save_wav(str(src_dir / f"s{i}.wav"), tone(140 + 40 * i, seed=i), sr)
+    save_wav(str(tgt_dir / "ref0.wav"), tone(220, secs=0.8, seed=9), sr)
+    (tmp_path / "index.tsv").write_text("s0\thello world\ns1\tthe cat sat\n")
+
+    vc = tiny_converter()
+    calls = {"convert": 0}
+    orig_convert = vc.convert
+
+    def counting_convert(*a, **kw):
+        calls["convert"] += 1
+        return orig_convert(*a, **kw)
+
+    vc.convert = counting_convert
+    monkeypatch.setattr(convert_mod, "VoiceConverter",
+                        lambda cfg, **params: vc)
+
+    class StubASR:
+        def __init__(self, model_dir):
+            assert model_dir == "stub-asr"
+
+        def transcribe(self, wave_16k):
+            return "hello world"
+
+    class StubDNSMOS:
+        def __init__(self, model_dir):
+            assert model_dir == "stub-dnsmos"
+
+        def score(self, wave_16k):
+            return {"sig": 3.4, "bak": 3.9, "ovrl": 3.1, "p808": 3.5}
+
+    monkeypatch.setattr(metrics_mod, "CTCTranscriber", StubASR)
+    monkeypatch.setattr(metrics_mod, "DNSMOS", StubDNSMOS)
+
+    argv = ["--source-dir", str(src_dir), "--target-dir", str(tgt_dir),
+            "--output", str(out_dir), "--diffusion-steps", "2",
+            "--asr-model", "stub-asr", "--dnsmos-dir", "stub-dnsmos",
+            "--transcripts", str(tmp_path / "index.tsv")]
+    eval_app.main(argv)
+
+    assert calls["convert"] == 2  # 2 sources x 1 reference voice
+    with open(out_dir / "results.json") as f:
+        report = json.load(f)
+    assert report["summary"]["n"] == 2
+    for key in ("mean_secs", "mean_wer", "mean_cer", "mean_dnsmos_sig",
+                "mean_dnsmos_ovrl", "mean_dnsmos_p808"):
+        assert key in report["summary"], key
+    # s0's transcript matches the stub ASR exactly -> one perfect WER row
+    wers = sorted(r["wer"] for r in report["results"])
+    assert wers[0] == 0.0 and wers[1] > 0.0
+    assert -1.0 <= report["summary"]["mean_secs"] <= 1.0
+    # converted wavs are cached for resume
+    assert sorted(p.name for p in out_dir.glob("*.wav")) == [
+        "ref0_s0.wav", "ref0_s1.wav"]
+
+    # second run resumes from the cached wavs: no new conversions
+    eval_app.main(argv)
+    assert calls["convert"] == 2
+    with open(out_dir / "results.json") as f:
+        assert json.load(f)["summary"]["n"] == 2
+
+
+# ---------------------------------------------------------------------------
 # realtime CLI
 # ---------------------------------------------------------------------------
 
