@@ -59,6 +59,36 @@ class StageTimer:
         return sum(self._acc.values())
 
 
+def probe_ready(x):
+    """Block until ``x``'s computation has finished, moving O(1) bytes.
+
+    Stage attribution through the axon tunnel must not use either of the
+    obvious syncs: ``block_until_ready`` can return before remote execution
+    finishes (under-reports), and ``np.asarray(x)`` ships the WHOLE buffer
+    over a ~50 MB/s link (a 5 MB conditioning tensor reads as ~100 ms of
+    fake "compute").  Fetching a single element forces completion via data
+    dependence at constant transfer cost (~10-25 ms tunnel round-trip per
+    probe).  Returns ``x`` unchanged and still device-resident.
+    """
+    import jax
+
+    if not isinstance(x, jax.Array):
+        return x
+    global _PROBE
+    if _PROBE is None:
+        import jax.numpy as jnp
+
+        # one jitted fn: jit's own cache specialises per (shape, dtype)
+        _PROBE = jax.jit(lambda v: jnp.ravel(v)[0])
+    import numpy as np
+
+    np.asarray(_PROBE(x))
+    return x
+
+
+_PROBE = None
+
+
 @contextlib.contextmanager
 def annotate(name: str):
     """Named span inside a device trace (no-op outside an active trace)."""

@@ -112,6 +112,7 @@ class VoiceConverter:
         seed: int = 0,
         cfg_shard_axis: Optional[str] = None,
         seq_shard_axis: Optional[str] = None,
+        vocoder_cfg=None,
     ):
         # cfg_shard_axis: mesh axis to split the CFG-stacked (2x) sampler
         # batch over (run convert() inside ``jax.set_mesh(mesh)``); None =
@@ -200,16 +201,20 @@ class VoiceConverter:
                     jax.random.split(key, 5)[-1], jnp.zeros((1, 32, 128)))["params"]
             self.rmvpe = RMVPE(rmvpe_params)
 
+        # vocoder_cfg: optional HiFTConfig/BigVGANConfig override (custom
+        # checkpoint geometries; tests use small ones to bound compile time)
         self.vocoder_type = self.cfg.model_params.vocoder.type
         if self.vocoder_type == "hifigan":
             from seedvc_tpu.models.hifigan import HiFTConfig, HiFTGenerator
 
-            self.vocoder = HiFTGenerator(HiFTConfig(sampling_rate=self.sr))
+            self.vocoder = HiFTGenerator(
+                vocoder_cfg or HiFTConfig(sampling_rate=self.sr))
             if vocoder_params is None:
                 vocoder_params = jax.jit(self.vocoder.init)(
                     k4, jnp.zeros((1, 16, self.n_mels)), jax.random.PRNGKey(0))["params"]
         else:
-            voc_cfg = BIGVGAN_44K_128 if self.n_mels == 128 else BIGVGAN_22K_80
+            voc_cfg = vocoder_cfg or (
+                BIGVGAN_44K_128 if self.n_mels == 128 else BIGVGAN_22K_80)
             if jax.default_backend() == "tpu":
                 # fused Pallas anti-alias-snake kernel: 1.27x faster vocoding
                 # and ~2x faster compile (interpret mode on CPU is left off).
@@ -267,16 +272,28 @@ class VoiceConverter:
                     {"params": params}, mel).astype(jnp.float32)
 
         @jax.jit
-        def style_fn(params, wave_16k):
-            # kaldi fbank + mean-sub + CAMPPlus in one program (fbank eager
-            # would cost several extra device dispatches per conversion)
+        def style_fn(params, wave_16k, frame_lens):
+            # kaldi fbank + true-length mean-sub + masked CAMPPlus in one
+            # program (fbank eager would cost several extra device
+            # dispatches per conversion).  The wave arrives PADDED to a 1 s
+            # bucket with the valid kaldi frame count as a traced scalar:
+            # raw reference lengths would compile a new style program per
+            # distinct length (each a multi-second tunnel compile), and the
+            # masked computation equals the unpadded one
+            # (tests/test_trainer_features.py pins the equivalence).
             fb = kaldi_fbank(wave_16k)
-            fb = fb - fb.mean(axis=1, keepdims=True)
-            return campplus.apply({"params": params}, fb)
+            fmask = (jnp.arange(fb.shape[1])[None, :]
+                     < frame_lens[:, None]).astype(fb.dtype)[..., None]
+            mean = (fb * fmask).sum(axis=1, keepdims=True) / jnp.maximum(
+                frame_lens[:, None, None].astype(fb.dtype), 1.0)
+            fb = (fb - mean) * fmask
+            return campplus.apply({"params": params}, fb, frame_lens)
 
         @partial(jax.jit, static_argnames=("target_len",))
-        def regulate_fn(params, s, ylens, target_len, f0=None):
+        def regulate_fn(params, s, ylens, target_len, f0=None, x_lens=None,
+                        f0_lens=None):
             return vc.apply({"params": params}, s, ylens, target_len, f0,
+                            x_lens=x_lens, f0_lens=f0_lens,
                             method=vc.regulate)[0]
 
         n_mels_ = n_mels
@@ -415,15 +432,66 @@ class VoiceConverter:
 
     def _regulate_bucketed(self, s: jax.Array, true_len: int,
                            f0=None) -> jax.Array:
-        """Length-regulate with the target length padded to 256-frame
-        buckets (masked by ylens) -> few compiles."""
+        """Length-regulate with every data-dependent length bucketed:
+        target length to 256-frame buckets (masked by ylens), content
+        tokens to 64-token buckets and F0 to 256-frame buckets with traced
+        true lengths (``x_lens``/``f0_lens`` input-crop) — raw lengths
+        would compile a new regulate program per distinct source/reference
+        duration (multi-second tunnel compiles; breaks ``warm()``)."""
         bucket_len = -(-true_len // 256) * 256
+        s_T = s.shape[1]
+        s_b = -(-max(s_T, 1) // 64) * 64
+        s = jnp.pad(s, ((0, 0), (0, s_b - s_T), (0, 0)))
+        f0_lens = None
+        if f0 is not None:
+            f_T = f0.shape[1]
+            f_b = -(-max(f_T, 1) // 256) * 256
+            f0 = jnp.pad(f0, ((0, 0), (0, f_b - f_T)))
+            f0_lens = jnp.asarray(f_T, jnp.int32)
         out = self._regulate_fn(self.vc_params, s, jnp.array([true_len]),
-                                bucket_len, f0)
+                                bucket_len, f0,
+                                jnp.asarray(s_T, jnp.int32), f0_lens)
         return out[:, :true_len]
 
     def plan_chunks(self, target_len: int, p_len: int) -> tuple[int, int, int]:
         return plan_chunks(target_len, p_len, self.context, self.prompt_cap)
+
+    def warm(self, specs, *, diffusion_steps: int = 25,
+             cfg_rate: float = 0.7, verbose: bool = True) -> list:
+        """Precompile the per-bucket fused sampler+vocoder programs.
+
+        Each distinct ``(context, W)`` pair chosen by :func:`plan_chunks`
+        is a separate XLA compile (2-6 min through the axon tunnel for the
+        flagship model): without warming, the first short utterance after a
+        long one stalls a serving request on a mid-request compile.  Run
+        this at startup with the conversion shapes you expect.
+
+        ``specs``: iterable of ``(source_seconds, ref_seconds)`` pairs.
+        Runs one full silent conversion per distinct plan — which also
+        warms the whisper/mel/style/regulate programs on the real path.
+        ``diffusion_steps``/``cfg_rate`` must match production values (both
+        are static compile keys).  Returns the warmed plans, deduplicated.
+        """
+        warmed = []
+        seen = set()
+        for src_s, ref_s in specs:
+            target_len = max(int(src_s * self.sr) // self.hop, 1)
+            p_len = min(max(int(ref_s * self.sr) // self.hop, 1),
+                        self.prompt_cap)
+            plan = self.plan_chunks(target_len, p_len)
+            if plan in seen:
+                continue
+            seen.add(plan)
+            t0 = time.time()
+            src = np.zeros(target_len * self.hop, np.float32)
+            ref = np.zeros(p_len * self.hop, np.float32)
+            self.convert(src, self.sr, ref, self.sr,
+                         diffusion_steps=diffusion_steps, cfg_rate=cfg_rate)
+            warmed.append(plan)
+            if verbose:
+                print(f"warmed (prompt_cap,context,W)={plan} "
+                      f"in {time.time() - t0:.1f}s")
+        return warmed
 
     def extract_f0(self, src_16k: np.ndarray, ref_16k: np.ndarray, *,
                    auto_f0_adjust: bool = True, pitch_shift: float = 0.0):
@@ -448,17 +516,28 @@ class VoiceConverter:
         return shifted.astype(np.float32), f0_ori.astype(np.float32)
 
     def compute_style(self, wave_16k: np.ndarray) -> jax.Array:
-        return self._style_fn(self.campplus_params, jnp.asarray(wave_16k[None]))
+        # pad to a 1 s bucket (few program shapes) + traced true frame count
+        n = len(wave_16k)
+        bucket = -(-max(n, 1600) // 16000) * 16000
+        padded = np.zeros(bucket, np.float32)
+        padded[:n] = wave_16k
+        frame_lens = jnp.asarray([max((n - 400) // 160 + 1, 1)], jnp.int32)
+        return self._style_fn(self.campplus_params, jnp.asarray(padded[None]),
+                              frame_lens)
 
     # ------------------------------------------------------------------
     def convert(self, source, source_sr, reference, reference_sr,
                 **kwargs) -> tuple[int, np.ndarray, dict]:
         """Full conversion; drains :meth:`convert_with_streaming`.
 
-        Returns (sr, waveform, stats).  With ``profile=True`` each stage is
-        synchronised (``np.asarray``) before the clock stops, so
-        ``stats['stages']`` attributes device time accurately (at the cost
-        of extra host syncs).
+        Returns (sr, waveform, stats).  With ``profile=True`` each stage
+        blocks on device completion via a constant-cost probe
+        (:func:`seedvc_tpu.core.profiling.probe_ready` — one element
+        fetched, buffers stay device-resident) before the clock stops, so
+        ``stats['stages']`` attributes per-stage time to within the probe
+        round-trip (~10-25 ms/stage through the axon tunnel) and stage
+        totals track the unprofiled wall time
+        (``tests/test_profiling.py`` pins this).
         """
         chunks = []
         stats: dict = {"rtf": 0.0, "audio_seconds": 0.0, "wall_seconds": 0.0,
@@ -488,10 +567,10 @@ class VoiceConverter:
         """Generator yielding ``(sr, wave_chunk, stats)`` per crossfaded
         chunk — the reference v1 wrapper streams chunks the same way
         (``seed_vc_wrapper.py:201-286``)."""
-        from seedvc_tpu.core.profiling import StageTimer
+        from seedvc_tpu.core.profiling import StageTimer, probe_ready
 
         timer = StageTimer()
-        sync = np.asarray if profile else (lambda x: x)
+        sync = probe_ready if profile else (lambda x: x)
         t_start = time.time()
         with timer("resample"):
             # host-side: decimating 30 s of audio costs less than shipping
@@ -564,18 +643,31 @@ class VoiceConverter:
                 "stages": timer.report(),
             }
 
+        # Dispatch ALL chunk programs up-front (async dispatch): the device
+        # queue serializes the sampler+vocoder compute while each finished
+        # chunk's ~2 MB waveform fetch (a ~50 MB/s tunnel link) overlaps the
+        # NEXT chunk's sampling instead of sitting on the critical path.
+        # With profile=True each dispatch is probe-synced so the
+        # "sample+vocode" stage stays per-chunk accurate and the transfer
+        # cost shows up separately under "fetch".
+        dispatched = []
         while processed < target_len:
             w = min(W, target_len - processed)
             is_last = processed + W >= target_len
-
             key, sub = jax.random.split(key)
             with timer("sample+vocode"):
                 chunk = self._chunk_fn(cond_buf, jnp.asarray(processed), W)
-                wave = np.asarray(self._sample_vocode_fn(
+                dev_wave = sync(self._sample_vocode_fn(
                     self.vc_params, self.vocoder_params, sub, chunk,
                     prompt_cond_pad, jnp.array([p_len + w]),
                     prompt_mel_cap, jnp.asarray(p_len), style,
-                    diffusion_steps, cfg_rate, context))[0]
+                    diffusion_steps, cfg_rate, context))
+            dispatched.append((w, is_last, dev_wave))
+            processed += w if is_last else (w - OVERLAP_FRAMES)
+
+        for w, is_last, dev_wave in dispatched:
+            with timer("fetch"):
+                wave = np.asarray(dev_wave)[0]
             wave = wave[: w * self.hop]
 
             n_chunks += 1
@@ -591,6 +683,5 @@ class VoiceConverter:
                 piece = cosine_crossfade(prev_tail, wave[:-overlap_wave],
                                          overlap_wave)
                 prev_tail = wave[-overlap_wave:]
-            processed += w if is_last else (w - OVERLAP_FRAMES)
             emitted += len(piece)
             yield self.sr, piece, _stats()

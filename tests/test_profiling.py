@@ -41,6 +41,50 @@ def test_trace_none_is_noop_and_annotate_runs():
             assert float(jnp.sum(jnp.ones(4))) == 4.0
 
 
+def test_probe_ready_blocks_and_preserves():
+    from seedvc_tpu.core.profiling import probe_ready
+
+    x = jnp.arange(12.0).reshape(3, 4) * 2
+    y = probe_ready(x)
+    assert y is x  # unchanged, still device-resident
+    assert float(y[1, 1]) == 10.0
+    # non-arrays pass through untouched
+    import numpy as np
+
+    host = np.ones(3)
+    assert probe_ready(host) is host
+    assert probe_ready(None) is None
+
+
+def test_profiled_stage_totals_track_wall():
+    """Profile attribution must not lie (VERDICT r3 weak #2): the sum of
+    per-stage times from a profiled conversion has to be consistent with
+    the unprofiled wall time of the same conversion — the old per-stage
+    ``np.asarray`` syncs shipped whole buffers and over-attributed ~4x."""
+    import numpy as np
+
+    from tests_helpers_tiny import tiny_converter
+
+    vc = tiny_converter()
+    rng = np.random.default_rng(0)
+    src = (rng.standard_normal(22050 * 2) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal(22050) * 0.1).astype(np.float32)
+
+    vc.convert(src, 22050, ref, 22050, diffusion_steps=2)  # compile
+    _, _, plain = vc.convert(src, 22050, ref, 22050, diffusion_steps=2)
+    _, _, prof = vc.convert(src, 22050, ref, 22050, diffusion_steps=2,
+                            profile=True)
+    stage_total = sum(v["seconds"] for v in prof["stages"].values())
+    # profiled stages cover at least half the profiled wall (nothing big
+    # left unattributed) and don't exceed the profiled wall itself
+    assert stage_total <= prof["wall_seconds"] * 1.05
+    assert stage_total >= prof["wall_seconds"] * 0.5
+    # probe-sync overhead keeps the profiled run in the same regime as the
+    # unprofiled one (CPU timing on a tiny model is noisy: 3x bound)
+    assert prof["wall_seconds"] <= max(plain["wall_seconds"] * 3.0,
+                                       plain["wall_seconds"] + 0.5)
+
+
 def test_trace_writes_profile(tmp_path):
     from seedvc_tpu.core.profiling import trace
 
