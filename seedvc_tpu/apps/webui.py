@@ -33,6 +33,7 @@ import os
 import pickle
 import sys
 import threading
+import time
 from email.parser import BytesParser
 from email.policy import default as email_default
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -149,6 +150,19 @@ class ConverterRegistry:
 
     def loaded(self) -> list[str]:
         return sorted(self._cache)
+
+    def warm(self, specs: list[tuple[float, float]], modes=("vc",),
+             preset: str | None = None):
+        """Build the converters for ``modes`` and precompile their
+        ``plan_chunks`` buckets for the given (source_s, ref_s) specs, so
+        the first user request never stalls on a mid-request XLA compile
+        (2-6 min per bucket through the axon tunnel for the flagship)."""
+        for mode in modes:
+            p = preset or ("whisper_base_f0_44k" if mode == "svc"
+                           else "whisper_small_wavenet")
+            conv = self.get(mode, "v2" if mode == "v2" else p)
+            with self.lock:
+                conv.warm(specs)
 
 
 PAGE = """<!doctype html>
@@ -571,6 +585,14 @@ def main(argv=None):
                     help="dir of example wavs for the UI rows (reference "
                          "app.py:158-165; synthesized demos without it)")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--warm", default=None, metavar="SPECS",
+                    help="precompile sampler buckets before serving: "
+                         "comma-separated src_s:ref_s pairs, e.g. "
+                         "'30:5,10:5,5:3' (each distinct (context,W) bucket "
+                         "is a separate multi-minute XLA compile on TPU — "
+                         "warm the shapes you expect at startup)")
+    ap.add_argument("--warm-modes", default="vc",
+                    help="comma-separated modes to warm (vc,svc,v2)")
     args = ap.parse_args(argv)
 
     if not args.checkpoint_dir:
@@ -578,6 +600,13 @@ def main(argv=None):
               file=sys.stderr)
     registry = ConverterRegistry(args.checkpoint_dir, args.v2_checkpoint_dir,
                                  examples_dir=args.examples_dir)
+    if args.warm:
+        specs = [tuple(float(x) for x in pair.split(":"))
+                 for pair in args.warm.split(",")]
+        t0 = time.time()
+        registry.warm(specs, modes=tuple(args.warm_modes.split(",")))
+        print(f"warmed {len(specs)} spec(s) for modes "
+              f"[{args.warm_modes}] in {time.time() - t0:.0f}s")
     server = make_server(args.host, args.port, registry, args.verbose)
     print(f"serving on http://{args.host}:{args.port}")
     try:

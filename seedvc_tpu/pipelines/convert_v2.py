@@ -173,16 +173,22 @@ class VoiceConverterV2:
             return idx_n, idx_w
 
         @jax.jit
-        def style_fn(p, wave16):
-            # kaldi fbank + mean-sub + CAMPPlus in one program
+        def style_fn(p, wave16, frame_lens):
+            # kaldi fbank + true-length mean-sub + masked CAMPPlus in one
+            # program; the wave is padded to a 1 s bucket (raw reference
+            # lengths would compile a new program per distinct length)
             fb = kaldi_fbank(wave16)
-            fb = fb - fb.mean(axis=1, keepdims=True)
-            return self.campplus.apply({"params": p}, fb)
+            fmask = (jnp.arange(fb.shape[1])[None, :]
+                     < frame_lens[:, None]).astype(fb.dtype)[..., None]
+            mean = (fb * fmask).sum(axis=1, keepdims=True) / jnp.maximum(
+                frame_lens[:, None, None].astype(fb.dtype), 1.0)
+            fb = (fb - mean) * fmask
+            return self.campplus.apply({"params": p}, fb, frame_lens)
 
         @partial(jax.jit, static_argnames=("target_len",))
-        def cfm_reg_fn(p, tokens, ylens, target_len):
+        def cfm_reg_fn(p, tokens, ylens, target_len, x_lens=None):
             return self.cfm_reg.apply({"params": p}, tokens, ylens,
-                                      target_len)[0]
+                                      target_len, x_lens=x_lens)[0]
 
         @partial(jax.jit, static_argnames=("target_len",))
         def ar_reg_fn(p, tokens, ylens, target_len, x_lens=None):
@@ -267,11 +273,27 @@ class VoiceConverterV2:
         return np.asarray(idx_n)[:, :n], np.asarray(idx_w)[:, :n]
 
     def compute_style(self, wave_16k: np.ndarray):
-        return self._style_fn(self.p_campplus, jnp.asarray(wave_16k[None]))
+        # pad to a 1 s bucket (few program shapes) + traced true frame count
+        n = len(wave_16k)
+        bucket = -(-max(n, 1600) // 16000) * 16000
+        padded = np.zeros(bucket, np.float32)
+        padded[:n] = wave_16k
+        frame_lens = jnp.asarray([max((n - 400) // 160 + 1, 1)], jnp.int32)
+        return self._style_fn(self.p_campplus, jnp.asarray(padded[None]),
+                              frame_lens)
 
     def _regulate_tokens(self, reg_fn, p, tokens: np.ndarray, mel_len: int):
+        """Regulate with both data-dependent lengths bucketed: the mel
+        target to 256 frames (masked by ylens) and the token row to 64
+        tokens with the true length traced (``x_lens`` input-crop) — raw
+        token lengths would compile a new program per distinct duration."""
         bucket = -(-mel_len // 256) * 256
-        out = reg_fn(p, jnp.asarray(tokens), jnp.array([mel_len]), bucket)
+        T = tokens.shape[1]
+        T_b = -(-max(T, 1) // 64) * 64
+        tok = np.zeros((tokens.shape[0], T_b), np.asarray(tokens).dtype)
+        tok[:, :T] = tokens
+        out = reg_fn(p, jnp.asarray(tok), jnp.array([mel_len]), bucket,
+                     jnp.asarray(T, jnp.int32))
         return out[:, :mel_len]
 
     # ------------------------------------------------------------------
@@ -368,8 +390,10 @@ class VoiceConverterV2:
             tokens, n_tok = np.asarray(tokens), np.asarray(n_tok)
             wide_tokens = np.concatenate(
                 [tokens[b, : int(n_tok[b])] for b in range(B)])[None]
+            ar_batch = B
         else:
             wide_tokens = src_w
+            ar_batch = 0
 
         src_mel_len = len(src) // cfg.hop
         target_len = int(src_mel_len * length_adjust)
@@ -397,7 +421,10 @@ class VoiceConverterV2:
             dt = time.time() - t_start
             return {"rtf": dt / max(emitted / cfg.sr, 1e-9),
                     "wall_seconds": dt,
-                    "wide_tokens": int(wide_tokens.shape[1])}
+                    "wide_tokens": int(wide_tokens.shape[1]),
+                    # rows of the single batched AR generate call (the
+                    # reference loops these chunks sequentially)
+                    "ar_batch": ar_batch}
         while processed < target_len:
             w = min(W, target_len - processed)
             is_last = processed + W >= target_len
@@ -430,6 +457,52 @@ class VoiceConverterV2:
         """Timbre-only conversion (no AR; ``vc_wrapper.py:364-419``)."""
         kw["convert_style"] = False
         return self.convert_voice(source, source_sr, reference, reference_sr, **kw)
+
+    def warm(self, specs, *, diffusion_steps: int = 30,
+             intelligibility_cfg_rate: float = 0.7,
+             similarity_cfg_rate: float = 0.7, warm_ar: bool = False,
+             verbose: bool = True) -> list:
+        """Precompile per-bucket sampler+vocoder programs (v1-equivalent of
+        :meth:`seedvc_tpu.pipelines.convert.VoiceConverter.warm`).
+
+        ``specs``: iterable of ``(source_seconds, ref_seconds)`` pairs.
+        Runs one silent timbre-only conversion per distinct
+        ``plan_chunks`` bucket; CFG rates and step count must match
+        production values (static compile keys).  ``warm_ar=True`` also
+        runs one style conversion to compile the batched AR decode (the
+        biggest single compile; its shape buckets are utterance-length
+        dependent, so warm with a spec near your longest expected source).
+        """
+        from seedvc_tpu.pipelines.convert import plan_chunks
+
+        cfg = self.cfg
+        warmed = []
+        seen = set()
+        kw = dict(diffusion_steps=diffusion_steps,
+                  intelligibility_cfg_rate=intelligibility_cfg_rate,
+                  similarity_cfg_rate=similarity_cfg_rate)
+        for i, (src_s, ref_s) in enumerate(specs):
+            target_len = max(int(src_s * cfg.sr) // cfg.hop, 1)
+            p_len = min(max(int(ref_s * cfg.sr) // cfg.hop, 1),
+                        cfg.prompt_cap_frames)
+            plan = plan_chunks(target_len, p_len, cfg.context_frames,
+                               cfg.prompt_cap_frames, align_offset=2)
+            if plan in seen:
+                continue
+            seen.add(plan)
+            t0 = time.time()
+            src = np.zeros(target_len * cfg.hop, np.float32)
+            ref = np.zeros(p_len * cfg.hop, np.float32)
+            if warm_ar and i == 0:
+                self.convert_voice(src, cfg.sr, ref, cfg.sr,
+                                   convert_style=True, **kw)
+            else:
+                self.convert_timbre(src, cfg.sr, ref, cfg.sr, **kw)
+            warmed.append(plan)
+            if verbose:
+                print(f"warmed v2 (prompt_cap,context,W)={plan} "
+                      f"in {time.time() - t0:.1f}s")
+        return warmed
 
 
 V2_PARAM_NAMES = VoiceConverterV2.PARAM_NAMES

@@ -106,6 +106,30 @@ def test_command_baseline_runs(tmp_path):
     assert out.read_bytes() == b"AUDIO"
 
 
+def test_webui_registry_warm_builds_and_warms(monkeypatch):
+    """--warm startup path: the registry builds each requested mode's
+    converter and forwards the (source_s, ref_s) specs to its warm()."""
+    from seedvc_tpu.apps.webui import ConverterRegistry
+
+    calls = []
+
+    class StubConv:
+        def __init__(self, key):
+            self.key = key
+
+        def warm(self, specs):
+            calls.append((self.key, list(specs)))
+
+    reg = ConverterRegistry()
+    monkeypatch.setattr(reg, "get",
+                        lambda mode, preset: StubConv(f"{mode}:{preset}"))
+    specs = [(30.0, 5.0), (10.0, 5.0)]
+    reg.warm(specs, modes=("vc", "svc", "v2"))
+    assert [c[0] for c in calls] == [
+        "vc:whisper_small_wavenet", "svc:whisper_base_f0_44k", "v2:v2"]
+    assert all(c[1] == specs for c in calls)
+
+
 # ---------------------------------------------------------------------------
 # eval harness end-to-end
 # ---------------------------------------------------------------------------

@@ -133,6 +133,40 @@ def test_seed_vc_wrapper_facade(monkeypatch):
     assert built == [False, True]
 
 
+@pytest.mark.slow
+def test_warm_precompiles_buckets():
+    """Serving warmup (VERDICT r3 next #5): after ``warm()`` with the
+    expected conversion shapes, a matching conversion triggers ZERO new
+    XLA compiles — pinned via the jit caches of every per-conversion
+    program, so the first short utterance after a long one can't stall on
+    a mid-request compile."""
+    from seedvc_tpu.models.bigvgan import BigVGANConfig
+    from tests_helpers_tiny import tiny_converter
+
+    # context > 512 so plan_chunks actually produces distinct buckets;
+    # small vocoder so the two per-bucket compiles stay fast on CPU
+    vc = tiny_converter(
+        context_frames=1024, prompt_cap_frames=256,
+        vocoder_cfg=BigVGANConfig(upsample_initial_channel=128,
+                                  resblock_kernel_sizes=(3,),
+                                  resblock_dilation_sizes=((1, 3),)))
+    specs = [(10.0, 1.0), (2.0, 1.0)]  # long then short: different plans
+    warmed = vc.warm(specs, diffusion_steps=2, verbose=False)
+    assert len(warmed) == 2 and warmed[0] != warmed[1]
+
+    fns = [vc._sample_vocode_fn, vc._regulate_fn, vc._whisper_fn,
+           vc._style_fn, vc._chunk_fn]
+    sizes = [f._cache_size() for f in fns]
+    rng = np.random.default_rng(0)
+    for secs in (2.0, 10.0):
+        src = (rng.standard_normal(int(secs * 22050)) * 0.1).astype(np.float32)
+        ref = (rng.standard_normal(22050) * 0.1).astype(np.float32)
+        sr, out, _ = vc.convert(src, 22050, ref, 22050, diffusion_steps=2)
+        assert out.size > 0
+    assert [f._cache_size() for f in fns] == sizes, \
+        "conversion after warm() compiled a new program variant"
+
+
 def test_plan_chunks_buckets():
     """Adaptive context planning: smallest flash-friendly (512-multiple)
     context per conversion; tiny configs (<=512) keep the static window."""
