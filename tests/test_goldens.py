@@ -76,6 +76,45 @@ def test_golden_v1_conversion():
 
 
 @pytest.mark.slow
+def test_golden_svc_f0_conversion():
+    """F0-conditioned (SVC) conversion through the REAL ``extract_f0`` ->
+    ``f0_to_coarse`` -> regulator pitch-embedding path (reference semantics
+    ``inference.py:432-459``), with auto-F0 median matching and a +2
+    semitone shift engaged.  The default-path goldens never touch this
+    conditioning; this one fails on any drift in RMVPE decode, F0
+    post-processing, or the regulator's F0 branch."""
+    from tests_helpers_tiny import tiny_f0_converter
+
+    vc = tiny_f0_converter()
+    assert vc.f0_condition and vc.rmvpe is not None
+    src = _signal(3.0, 22050, seed=41, f0=150.0)
+    ref = _signal(1.0, 22050, seed=42, f0=220.0)
+    sr, wave, stats = vc.convert(src, 22050, ref, 22050, diffusion_steps=4,
+                                 seed=7, pitch_shift=2.0)
+    assert "f0" in stats["stages"]  # the F0 stage actually ran
+    _check("svc_f0_conversion", wave, sr)
+
+
+@pytest.mark.slow
+def test_golden_hift_conversion():
+    """Conversion vocoded by HiFT (NSF-iSTFT — the streaming/realtime
+    production vocoder, reference ``modules/hifigan/generator.py:393-435``).
+    The other goldens all use the BigVGAN default; this pins the
+    F0-predictor -> SineGen harmonic source -> iSTFT synthesis path
+    end-to-end."""
+    from tests_helpers_tiny import tiny_hift_converter
+
+    vc = tiny_hift_converter()
+    assert vc.vocoder_type == "hifigan"
+    src = _signal(2.0, 22050, seed=51, f0=160.0)
+    ref = _signal(1.0, 22050, seed=52, f0=210.0)
+    sr, wave, stats = vc.convert(src, 22050, ref, 22050,
+                                 diffusion_steps=4, seed=7)
+    assert stats["chunks"] >= 1
+    _check("hift_conversion", wave, sr)
+
+
+@pytest.mark.slow
 def test_golden_v2_conversion():
     import tests.test_pipeline_v2 as tp2
 

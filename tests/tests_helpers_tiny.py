@@ -31,3 +31,42 @@ def tiny_converter(**kw) -> VoiceConverter:
     defaults = dict(whisper_cfg=wcfg, prompt_cap_frames=64, context_frames=192)
     defaults.update(kw)
     return VoiceConverter(tiny_cfg(), **defaults)
+
+
+def tiny_f0_cfg() -> SeedVCConfig:
+    """Tiny config with the SVC/F0 conditioning path enabled (the
+    whisper_base_f0_44k preset's semantics at test scale: RMVPE F0 ->
+    f0_to_coarse -> regulator pitch embedding)."""
+    import dataclasses
+
+    cfg = tiny_cfg()
+    return dataclasses.replace(cfg, model_params=dataclasses.replace(
+        cfg.model_params,
+        length_regulator=dataclasses.replace(
+            cfg.model_params.length_regulator,
+            f0_condition=True, n_f0_bins=64),
+        DiT=dataclasses.replace(cfg.model_params.DiT,
+                                f0_condition=True, n_f0_bins=64)))
+
+
+def tiny_f0_converter(**kw) -> VoiceConverter:
+    wcfg = WhisperEncoderConfig(d_model=48, n_layers=1, n_heads=4, ffn_dim=96)
+    defaults = dict(whisper_cfg=wcfg, prompt_cap_frames=64, context_frames=192)
+    defaults.update(kw)
+    return VoiceConverter(tiny_f0_cfg(), **defaults)
+
+
+def tiny_hift_converter(**kw) -> VoiceConverter:
+    """Tiny DiT with the HiFT/NSF-iSTFT vocoder (the realtime/streaming
+    production vocoder — xlsr_tiny preset pairing)."""
+    import dataclasses
+
+    from seedvc_tpu.core.config import VocoderConfig
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(cfg, model_params=dataclasses.replace(
+        cfg.model_params, vocoder=VocoderConfig(type="hifigan", name="")))
+    wcfg = WhisperEncoderConfig(d_model=48, n_layers=1, n_heads=4, ffn_dim=96)
+    defaults = dict(whisper_cfg=wcfg, prompt_cap_frames=64, context_frames=192)
+    defaults.update(kw)
+    return VoiceConverter(cfg, **defaults)
