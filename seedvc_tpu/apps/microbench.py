@@ -326,11 +326,13 @@ def bench_ar_decode(B=1, n_tokens=128, max_seq=4096):
     per_tok = dt / n_tokens
     n_params = sum(int(np.prod(l.shape))
                    for l in jax.tree_util.tree_leaves(variables))
-    print(json.dumps({
+    row = {
         "name": f"ar_decode B{B} seq{max_seq} ({n_params/1e6:.0f}M params)",
         "ms_per_token": round(per_tok * 1e3, 3),
         "tokens_per_s": round(B / per_tok, 1),
-    }))
+    }
+    print(json.dumps(row))
+    return row
 
 
 
@@ -434,8 +436,9 @@ def bench_train_onfly(B=4, steps=12, prefetch=2):
     dt = (_time.perf_counter() - t0) / (final - warm)
     tag = f"prefetch{prefetch}"
     row = report(f"train_onfly {tag} B{B} ({steps} steps)", dt, 0)
+    row["steps_per_s"] = round(1.0 / dt, 2)
     print(json.dumps({"name": f"train_onfly_steps_per_s_{tag}",
-                      "value": round(1.0 / dt, 2)}))
+                      "value": row["steps_per_s"]}))
     return row
 
 
