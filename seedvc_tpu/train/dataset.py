@@ -47,11 +47,15 @@ class Batch:
     waves_16k: np.ndarray    # (B, T16) at 16 kHz, zero-padded
     wave_lengths: np.ndarray
     wave_16k_lengths: np.ndarray
+    # dataset item indices (perturb-invariant feature caching keys in the
+    # trainer); None for ad-hoc batches built outside FTDataset
+    ids: np.ndarray | None = None
 
 
 class FTDataset:
     def __init__(self, data_path: str, sr: int, batch_size: int,
-                 max_samples_sec: float = MAX_SEC, seed: int = 1234):
+                 max_samples_sec: float = MAX_SEC, seed: int = 1234,
+                 cache_bytes: int = 2 << 30):
         self.files = scan_audio_files(data_path)
         while len(self.files) < batch_size:
             self.files = self.files + self.files
@@ -59,6 +63,9 @@ class FTDataset:
         self.batch_size = batch_size
         self.max_sec = max_samples_sec
         self.seed = seed
+        self.cache_bytes = cache_bytes
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._cache_used = 0
 
     def __len__(self):
         return len(self.files)
@@ -88,11 +95,32 @@ class FTDataset:
                                   _depth + 1)
         return wave, orig_sr
 
+    def _load_resampled(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        """(wave_sr, wave_16k) for one item, HOST-side and cached.
+
+        Two lessons measured on the axon tunnel (round 4): the device
+        resampler here cost ~2 tunnel round-trips per item per batch and
+        serialized with the train step on the single device queue
+        (~0.8 s/batch — the dominant on-the-fly training cost), and
+        re-decoding+resampling every epoch re-paid it forever.  Fine-tune
+        sets are small and reiterated every epoch, so resampled waves are
+        cached up to ``cache_bytes`` (~2 GiB default ≈ 3.5 h of audio);
+        past the bound items are recomputed per epoch."""
+        hit = self._cache.get(idx)
+        if hit is not None:
+            return hit
+        from seedvc_tpu.dsp.resample import resample_host
+
+        w, osr = self.load_item(idx)
+        item = (resample_host(w, osr, self.sr),
+                resample_host(w, osr, 16000))
+        size = item[0].nbytes + item[1].nbytes
+        if self._cache_used + size <= self.cache_bytes:
+            self._cache[idx] = item
+            self._cache_used += size
+        return item
+
     def batches(self, shuffle: bool = True, epoch: int = 0) -> Iterator[Batch]:
-        import jax.numpy as jnp
-
-        from seedvc_tpu.dsp.resample import resample
-
         order = np.arange(len(self.files))
         if shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)
@@ -100,21 +128,9 @@ class FTDataset:
             idxs = order[start: start + self.batch_size]
             waves, waves16 = [], []
             for i in idxs:
-                w, osr = self.load_item(int(i))
-                # Resample from a 1 s-bucketed buffer: arbitrary clip
-                # lengths would otherwise compile a new conv program per
-                # distinct length (slow through the remote-compile tunnel).
-                # The sinc kernel sees identical zeros past the true length
-                # either way, so the sliced output is bit-identical.
-                Tb = -(-len(w) // osr) * osr
-                wp = np.zeros(Tb, np.float32)
-                wp[: len(w)] = w
-                n_sr = -(-self.sr * len(w) // osr)
-                n_16 = -(-16000 * len(w) // osr)
-                waves.append(
-                    np.asarray(resample(jnp.asarray(wp), osr, self.sr))[:n_sr])
-                waves16.append(
-                    np.asarray(resample(jnp.asarray(wp), osr, 16000))[:n_16])
+                w_sr, w_16 = self._load_resampled(int(i))
+                waves.append(w_sr)
+                waves16.append(w_16)
             maxw = max(len(w) for w in waves)
             maxw16 = max(len(w) for w in waves16)
             B = len(waves)
@@ -127,4 +143,5 @@ class FTDataset:
                 out_w16[b, : len(w16)] = w16
                 lens[b] = len(w)
                 lens16[b] = len(w16)
-            yield Batch(out_w, out_w16, lens, lens16)
+            yield Batch(out_w, out_w16, lens, lens16,
+                        ids=np.asarray(idxs, np.int64))

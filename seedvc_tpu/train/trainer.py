@@ -71,6 +71,17 @@ class TrainerConfig:
     # "bfloat16": bf16 model compute with f32 master weights (the TPU
     # analogue of the reference's fp16 autocast, train_v2.py:700)
     compute_dtype: str = "float32"
+    # Frozen-encoder (whisper/SSL) compute dtype.  None = auto: bfloat16 on
+    # TPU (the reference runs the frozen encoder under fp16 autocast,
+    # train.py:800; f32 whisper was the dominant per-step cost on-the-fly),
+    # float32 elsewhere (CPU parity tests).  Features return f32 either way.
+    encoder_dtype: Optional[str] = None
+    # Device-resident cache of perturb-INVARIANT per-clip features (clean
+    # s_ori whisper features + CAMPPlus style): after the first epoch only
+    # the perturbed branch needs a whisper forward, roughly halving the
+    # frozen-encoder device time per step.  0 disables (e.g. datasets too
+    # large for HBM; ~4.6 MB/clip at whisper-small).
+    feat_cache_bytes: int = 2 << 30
     # ZeRO-3/FSDP analogue: scatter params + AdamW moments + EMA over the
     # data axis (parallel/sharding.py::_add_fsdp_axis); XLA all-gathers
     # weights at use and reduce-scatters gradients.  Composes with TP.
@@ -180,11 +191,19 @@ class Trainer:
 
         self.eval_fn = make_sharded_eval_step(self.model, self.mesh)
 
-        # Frozen semantic encoder follows the training compute dtype (the
-        # reference runs it under the same fp16 autocast as the model,
-        # train.py:800); features return as f32.  Style encoder stays f32.
-        enc_dtype = (jnp.bfloat16 if tcfg.compute_dtype == "bfloat16"
-                     else jnp.float32)
+        # Frozen semantic encoder dtype: explicit override, else bf16 when
+        # training in bf16 OR on TPU (the reference runs the frozen encoder
+        # under fp16 autocast, train.py:800; a f32 whisper forward was the
+        # dominant on-the-fly per-step cost — 2 windows/step).  Features
+        # return as f32 either way.  Style encoder stays f32.
+        if tcfg.encoder_dtype is not None:
+            enc_dtype = (jnp.bfloat16 if tcfg.encoder_dtype == "bfloat16"
+                         else jnp.float32)
+        else:
+            enc_dtype = (jnp.bfloat16
+                         if (tcfg.compute_dtype == "bfloat16"
+                             or jax.default_backend() == "tpu")
+                         else jnp.float32)
 
         def _whisper_fwd(p, w):
             # pad to the 30 s whisper window ON DEVICE: the host ships only
@@ -204,6 +223,50 @@ class Trainer:
         from seedvc_tpu.dsp.resample import warp_rate
 
         self._jit_warp = jax.jit(warp_rate)
+
+        # Fused per-step feature program for the warp-perturbation path:
+        # random-rate warp -> [original ; perturbed] stacked -> ONE whisper
+        # forward at 2B.  One device dispatch instead of three (each costs
+        # ~10-25 ms through the axon tunnel) and the 2B batch fills the MXU
+        # better than two B-sized calls.
+        def _semantic_pair_fwd(p, w16b, rate):
+            alt = warp_rate(w16b, rate)
+            s = _whisper_fwd(p, jnp.concatenate([w16b, alt], axis=0))
+            return s[: w16b.shape[0]], s[w16b.shape[0]:]
+
+        self._jit_semantic_pair = jax.jit(_semantic_pair_fwd)
+
+        # perturbed-branch-only variant for feature-cache hits (s_ori
+        # comes from the cache; see prepare_batch)
+        def _semantic_alt_fwd(p, w16b, rate):
+            return _whisper_fwd(p, warp_rate(w16b, rate))
+
+        self._jit_semantic_alt = jax.jit(_semantic_alt_fwd)
+
+        # cache-hit fast path: restack the cached per-clip rows AND run the
+        # perturbed whisper branch in ONE dispatch (each dispatch costs
+        # ~10-25 ms through the axon tunnel; 3 -> 1 per step here)
+        def _cached_prep_fwd(p, w16b, rate, *rows):
+            B = w16b.shape[0]
+            s_ori = jnp.stack(rows[:B])
+            style = jnp.stack(rows[B:])
+            return s_ori, _semantic_alt_fwd(p, w16b, rate), style
+
+        self._jit_cached_prep = jax.jit(_cached_prep_fwd)
+        # id -> (s_ori_row (T50, D) f32, style_row (S,)) device arrays
+        self._feat_cache: dict = {}
+        self._feat_cache_used = 0
+
+        # mel + pad-mask on device (reference collate pads mels with -10,
+        # ft_dataset.py:218-243): keeps the mels device-resident instead of
+        # a host round-trip through the ~50 MB/s tunnel every step
+        def _mel_fwd(waves, mel_lens):
+            mels = self.mel_fn(waves)
+            pos = jnp.arange(mels.shape[1])[None, :]
+            return jnp.where((pos < mel_lens[:, None])[..., None],
+                             mels, -10.0)
+
+        self._jit_mel = jax.jit(_mel_fwd)
 
         # True-length style extraction (reference loops per sample with true
         # lengths, train.py:841-869): fbank over the padded batch, per-sample
@@ -243,6 +306,9 @@ class Trainer:
             self._ov_convert = ov_convert
 
         self.ema_loss: Optional[float] = None
+        self._ema_dev = None  # device-resident loss EMA (synced lazily)
+        d = tcfg.ema_decay
+        self._jit_ema = jax.jit(lambda e, l: d * e + (1 - d) * l)
         self.best_ema: float = float("inf")
         self.plateau_count = 0
         self.best_val_loss = float("inf")
@@ -338,10 +404,10 @@ class Trainer:
         waves = np.zeros((B, wav_bucket), np.float32)
         n = min(wav_bucket, batch.waves.shape[1])
         waves[:, :n] = batch.waves[:, :n]
-        mels = np.asarray(self.mel_fn(jnp.asarray(waves)))
-        # pad region -> -10 (reference collate, ft_dataset.py:218-243)
-        pos = np.arange(bucket)[None, :]
-        mels = np.where((pos < mel_lens[:, None])[..., None], mels, -10.0)
+        # mel + pad-to--10 mask stay ON DEVICE (_jit_mel): the old host
+        # round-trip of the mel batch cost a mid-prep sync + 2 transfers
+        mels = self._jit_mel(jnp.asarray(waves),
+                             jnp.asarray(mel_lens.astype(np.int32)))
 
         # One 1 s-bucketed 16 kHz batch reused by every consumer (semantic,
         # perturb, style, RMVPE): raw batch widths vary per batch and would
@@ -356,10 +422,58 @@ class Trainer:
         # present in w16b (a >30 s clip would otherwise mask past the end).
         eff_16k = np.minimum(batch.wave_16k_lengths, w16_T)
 
-        s_ori = self._semantic(w16b, eff_16k)
-        s_alt = self._semantic(
-            self._perturb(w16b, rng, waves_sr=waves, step=step),
-            eff_16k)
+        # style from true lengths: valid kaldi frame counts (snip_edges)
+        frame_lens = np.maximum(
+            (eff_16k - 400) // 160 + 1, 1).astype(np.int32)
+
+        # Perturb-invariant per-clip features (clean s_ori + style) are
+        # cached on device across epochs: the whisper program zero-pads to
+        # the full 30 s window inside the jit, so a cached row is
+        # bit-identical to recomputing it in any batch composition.
+        ids = batch.ids if tb.feat_cache_bytes > 0 else None
+        cached = (ids is not None
+                  and all(int(i) in self._feat_cache for i in ids))
+        if cached:
+            rows = [self._feat_cache[int(i)] for i in ids]
+            if self.openvoice_params is not None:
+                s_ori = jnp.stack([r[0] for r in rows])
+                style = jnp.stack([r[1] for r in rows])
+                s_alt = self._semantic(
+                    self._perturb(w16b, rng, waves_sr=waves, step=step),
+                    eff_16k)
+            else:
+                rate = rng.uniform(tb.perturb_min, tb.perturb_max)
+                s_ori, s_alt, style = self._jit_cached_prep(
+                    self.whisper_params, jnp.asarray(w16b),
+                    jnp.float32(1.0 / rate),
+                    *[r[0] for r in rows], *[r[1] for r in rows])
+        else:
+            if self.openvoice_params is not None:
+                s_ori = self._semantic(w16b, eff_16k)
+                s_alt = self._semantic(
+                    self._perturb(w16b, rng, waves_sr=waves, step=step),
+                    eff_16k)
+            else:
+                # fused fallback path: warp + both whisper passes in ONE
+                # dispatch (_semantic_pair_fwd; 1/rate per _perturb note)
+                rate = rng.uniform(tb.perturb_min, tb.perturb_max)
+                s_ori, s_alt = self._jit_semantic_pair(
+                    self.whisper_params, jnp.asarray(w16b),
+                    jnp.float32(1.0 / rate))
+            style = self._jit_style(self.campplus_params, jnp.asarray(w16b),
+                                    jnp.asarray(frame_lens))
+            if ids is not None:
+                for b, i in enumerate(ids):
+                    i = int(i)
+                    if i in self._feat_cache:
+                        continue
+                    row = (s_ori[b], style[b])
+                    size = sum(int(np.prod(r.shape)) * r.dtype.itemsize
+                               for r in row)
+                    if self._feat_cache_used + size > tb.feat_cache_bytes:
+                        break
+                    self._feat_cache[i] = row
+                    self._feat_cache_used += size
         # Crop semantic features to the batch-true token count (the
         # reference crops to len_16k//320+1, train.py:702; the repo's
         # inference path crops too, pipelines/convert.py) — WITHOUT the
@@ -373,12 +487,6 @@ class Trainer:
         s_bucket = min(-(-s_true // 64) * 64,
                        min(s_ori.shape[1], s_alt.shape[1]))
         s_true = min(s_true, s_bucket)
-
-        # style from true lengths: valid kaldi frame counts (snip_edges)
-        frame_lens = np.maximum(
-            (eff_16k - 400) // 160 + 1, 1).astype(np.int32)
-        style = self._jit_style(self.campplus_params, jnp.asarray(w16b),
-                                jnp.asarray(frame_lens))
 
         feats = {
             "s_alt": s_alt[:, :s_bucket],
@@ -533,11 +641,17 @@ class Trainer:
                 key, sub = jax.random.split(key)
                 self.state, metrics = self.step_fn(self.state, feats, sub)
                 step += 1
-                loss = float(metrics["loss"])
-                self.ema_loss = (loss if self.ema_loss is None
-                                 else tb.ema_decay * self.ema_loss
-                                 + (1 - tb.ema_decay) * loss)
+                # Loss EMA accumulates ON DEVICE (one tiny async dispatch);
+                # a float() here would pay a tunnel round-trip EVERY step
+                # and drain the device queue — the host only materialises
+                # the EMA at log/validation points.  The queue depth is
+                # bounded by the log_interval sync.
+                self._ema_dev = (metrics["loss"] if self._ema_dev is None
+                                 else self._jit_ema(self._ema_dev,
+                                                    metrics["loss"]))
                 if step % tb.log_interval == 0:
+                    loss = float(metrics["loss"])
+                    self.ema_loss = float(self._ema_dev)
                     print(f"step {step} loss {loss:.4f} ema {self.ema_loss:.4f} "
                           f"gnorm {float(metrics['grad_norm']):.3f} "
                           f"({(time.time()-t0)/tb.log_interval:.2f}s/step)")
@@ -565,12 +679,16 @@ class Trainer:
                           f"patience {self.val_patience})")
                     if self.val_patience >= tb.early_stop_patience:
                         print("early stop: validation plateau")
-                        self.save(step)
-                        return step
+                        return self._finish(step)
                 if step % tb.save_interval == 0:
                     self.save(step)
                 if step >= tb.max_steps:
-                    self.save(step)
-                    return step
+                    return self._finish(step)
+        return self._finish(step)
+
+    def _finish(self, step: int) -> int:
+        # materialise the device-resident loss EMA (one sync) and save
+        if self._ema_dev is not None:
+            self.ema_loss = float(self._ema_dev)
         self.save(step)
         return step
