@@ -99,6 +99,9 @@ class SnakeAlias(nn.Module):
             return anti_alias_snake(x, alpha,
                                     beta if beta is not None else alpha,
                                     logscale=self.logscale)
-        h = upsample2x(x)
+        # f32 internally like the Pallas kernel (bf16 trunk stages cast
+        # back on return), so both paths keep the same activation accuracy
+        in_dtype = x.dtype
+        h = upsample2x(x.astype(jnp.float32))
         h = snake(h, alpha, beta, self.logscale)
-        return downsample2x(h)
+        return downsample2x(h).astype(in_dtype)
