@@ -78,7 +78,10 @@ def bench_e2e(n_steps: int = 25, warm_reps: int = 4) -> dict:
     print(f"e2e compile+first conversion: {compile_s:.1f}s", file=sys.stderr)
 
     # device-time stage attribution via constant-cost probe syncs
-    # (core/profiling.probe_ready): totals track the unprofiled wall
+    # (core/profiling.probe_ready): totals track the unprofiled wall.
+    # First profiled run compiles the per-shape probe programs (~0.7 s
+    # each through the tunnel) — report the SECOND, probe-warm run.
+    vc.convert(src, sr, ref, sr, diffusion_steps=n_steps, profile=True)
     _, _, pstats = vc.convert(src, sr, ref, sr, diffusion_steps=n_steps,
                               profile=True)
     walls = sorted(
@@ -157,20 +160,34 @@ def bench_streaming(block_time: float = 0.18, steps: int = 10,
     }
 
 
-def bench_v2(src_secs: float = 35.0, ref_secs: float = 3.0,
+def bench_v2(src_secs: float = 60.0, ref_secs: float = 3.0,
              steps: int = 30, warm_reps: int = 3) -> dict:
     """v2 accent-conversion RTF: HuBERT content -> batched AR decode ->
     3-way multi-cond CFG CFM -> BigVGAN, full-size random weights
-    (reference ``inference_v2.py`` path; 35 s source so the duration-
+    (reference ``inference_v2.py`` path; 60 s source so the duration-
     reduced tokens span >1500 and the AR chunks decode as ONE batched
-    call — ``pipelines/convert_v2.py`` left-padded batching)."""
+    call — ``pipelines/convert_v2.py`` left-padded batching; the JSON
+    carries ``ar_batch`` so a collapse back to B=1 is visible)."""
     import numpy as np
 
     from seedvc_tpu.pipelines.convert_v2 import VoiceConverterV2
 
     v2 = VoiceConverterV2()
     sr = v2.cfg.sr
-    src = _signal(src_secs, 0, sr)
+
+    def chirp(secs, seed):
+        # non-stationary source: a steady tone collapses ~10:1 under
+        # duration reduction (measured) and never fills one 1500-token AR
+        # chunk; the chirp+AM+noise mix retains ~0.6 of raw tokens
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(secs * sr)) / sr
+        f = 120 + 160 * (1 + np.sin(2 * np.pi * 0.41 * t))
+        ph = np.cumsum(2 * np.pi * f / sr)
+        x = 0.3 * np.sin(ph) + 0.12 * np.sin(2 * ph + 0.5)
+        am = 0.5 + 0.5 * np.abs(np.sin(2 * np.pi * 1.7 * t))
+        return (am * x + 0.06 * rng.standard_normal(len(t))).astype(np.float32)
+
+    src = chirp(src_secs, 0)
     ref = _signal(ref_secs, 1, sr, f0=220.0)
     kw = dict(diffusion_steps=steps, convert_style=True)
 
