@@ -355,9 +355,16 @@ class VoiceConverter:
                 mel_out, (0, prompt_len, 0),
                 (1, chunk.shape[1], n_mels_)).astype(jnp.float32)
             if self.vocoder_type == "hifigan":
-                return vocoder.apply({"params": voc_params}, gen,
-                                     jax.random.PRNGKey(0))
-            return vocoder.apply({"params": voc_params}, gen)
+                wav = vocoder.apply({"params": voc_params}, gen,
+                                    jax.random.PRNGKey(0))
+            else:
+                wav = vocoder.apply({"params": voc_params}, gen)
+            # fetch as f16: halves the chunk's device->host transfer over
+            # the ~50 MB/s tunnel (0.15-0.4 s/conversion measured); f16
+            # quantisation is ~-66 dB, comparable to the 16-bit wav the
+            # frontends emit, and within the goldens' tolerance.  The
+            # vocoder itself computes f32.
+            return wav.astype(jnp.float16)
 
         @partial(jax.jit, static_argnames=("W",))
         def chunk_fn(buf, start, W):
@@ -667,7 +674,7 @@ class VoiceConverter:
 
         for w, is_last, dev_wave in dispatched:
             with timer("fetch"):
-                wave = np.asarray(dev_wave)[0]
+                wave = np.asarray(dev_wave)[0].astype(np.float32)
             wave = wave[: w * self.hop]
 
             n_chunks += 1

@@ -242,7 +242,10 @@ class VoiceConverterV2:
             gen = jax.lax.dynamic_slice(
                 mel_out, (0, prompt_len, 0),
                 (1, chunk.shape[1], cfg.n_mels)).astype(jnp.float32)
-            return self.vocoder.apply({"params": p_voc}, gen)
+            # f16 fetch: halves the device->host waveform transfer; ~-66 dB
+            # quantisation (vocoder computes f32; see v1 pipeline note)
+            return self.vocoder.apply({"params": p_voc},
+                                      gen).astype(jnp.float16)
 
         @partial(jax.jit, static_argnames=("W",))
         def chunk_fn(buf, start, W):
@@ -435,7 +438,7 @@ class VoiceConverterV2:
                 jnp.array([p_len + w]), prompt_mel_cap, jnp.asarray(p_len),
                 style, diffusion_steps, float(similarity_cfg_rate),
                 float(intelligibility_cfg_rate),
-                bool(anonymization_only), context))[0]
+                bool(anonymization_only), context))[0].astype(np.float32)
             wave = wave[: w * cfg.hop]
             if prev_tail is None:
                 if is_last:
