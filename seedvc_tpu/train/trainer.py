@@ -143,6 +143,16 @@ class Trainer:
                 f"batch_size {tcfg.batch_size} must be divisible by the data "
                 f"axis size {n_data} (= {n_devices} devices / n_model {n_model})")
         self.mesh = make_mesh(n_data=n_data, n_model=n_model)
+        # Host->device transfers of batch-leading feature-prep inputs are
+        # sharded over the data axis (see _put): on a multi-chip mesh the
+        # frozen-encoder programs (whisper/warp/mel/fbank+CAMPPlus) then
+        # compile as SPMD over `data`, spreading the per-step feature
+        # compute that bounds single-chip on-the-fly training (PARITY r4
+        # ablation: the ~150 ms/step encoder share is the ceiling) across
+        # the same chips that run the train step.
+        self._n_data = n_data
+        self._data_sharding = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec("data"))
 
         schedule = warmup_cosine(tcfg.base_lr, tcfg.warmup_steps,
                                  tcfg.max_steps)
@@ -324,6 +334,18 @@ class Trainer:
                 options=ocp.CheckpointManagerOptions(max_to_keep=2))
 
     # ------------------------------------------------------------------
+    def _put(self, x):
+        """Batch array -> device, sharded over the data axis.
+
+        Falls back to an ordinary (replicated) transfer when the leading
+        dim doesn't divide the data axis (e.g. a validation tail batch);
+        jitted consumers accept either layout — GSPMD re-shards as needed.
+        """
+        if (self._n_data > 1 and getattr(x, "ndim", 0) >= 1
+                and x.shape[0] % self._n_data == 0):
+            return jax.device_put(x, self._data_sharding)
+        return jnp.asarray(x)
+
     def _semantic(self, waves_16k: np.ndarray, lens_16k: np.ndarray) -> jnp.ndarray:
         """Whisper features for a batch (30 s window, padded on device).
 
@@ -342,7 +364,7 @@ class Trainer:
         T = min(-(-n // bucket) * bucket, chunk)
         padded = np.zeros((B, T), np.float32)
         padded[:, :n] = np.asarray(waves_16k[:, :n])
-        return self._jit_whisper(self.whisper_params, jnp.asarray(padded))
+        return self._jit_whisper(self.whisper_params, self._put(padded))
 
     def _perturb(self, waves_16k: np.ndarray, rng: np.random.Generator,
                  waves_sr: Optional[np.ndarray] = None,
@@ -360,7 +382,7 @@ class Trainer:
         # applies no anti-alias lowpass for rates > 1 — acceptable for an
         # augmentation-only fallback (mild extra HF noise).
         rate = rng.uniform(self.tcfg.perturb_min, self.tcfg.perturb_max)
-        return self._jit_warp(jnp.asarray(waves_16k), jnp.float32(1.0 / rate))
+        return self._jit_warp(self._put(waves_16k), jnp.float32(1.0 / rate))
 
     def _perturb_openvoice(self, waves_sr: np.ndarray,
                            rng: np.random.Generator, step: int) -> np.ndarray:
@@ -406,8 +428,8 @@ class Trainer:
         waves[:, :n] = batch.waves[:, :n]
         # mel + pad-to--10 mask stay ON DEVICE (_jit_mel): the old host
         # round-trip of the mel batch cost a mid-prep sync + 2 transfers
-        mels = self._jit_mel(jnp.asarray(waves),
-                             jnp.asarray(mel_lens.astype(np.int32)))
+        mels = self._jit_mel(self._put(waves),
+                             self._put(mel_lens.astype(np.int32)))
 
         # One 1 s-bucketed 16 kHz batch reused by every consumer (semantic,
         # perturb, style, RMVPE): raw batch widths vary per batch and would
@@ -444,7 +466,7 @@ class Trainer:
             else:
                 rate = rng.uniform(tb.perturb_min, tb.perturb_max)
                 s_ori, s_alt, style = self._jit_cached_prep(
-                    self.whisper_params, jnp.asarray(w16b),
+                    self.whisper_params, self._put(w16b),
                     jnp.float32(1.0 / rate),
                     *[r[0] for r in rows], *[r[1] for r in rows])
         else:
@@ -458,10 +480,10 @@ class Trainer:
                 # dispatch (_semantic_pair_fwd; 1/rate per _perturb note)
                 rate = rng.uniform(tb.perturb_min, tb.perturb_max)
                 s_ori, s_alt = self._jit_semantic_pair(
-                    self.whisper_params, jnp.asarray(w16b),
+                    self.whisper_params, self._put(w16b),
                     jnp.float32(1.0 / rate))
-            style = self._jit_style(self.campplus_params, jnp.asarray(w16b),
-                                    jnp.asarray(frame_lens))
+            style = self._jit_style(self.campplus_params, self._put(w16b),
+                                    self._put(frame_lens))
             if ids is not None:
                 for b, i in enumerate(ids):
                     i = int(i)
@@ -502,7 +524,7 @@ class Trainer:
             # reuses the 1 s-bucketed batch.
             f0 = self.rmvpe.infer_from_audio_batch(w16b)  # (B, T16//160+1)
             f0_true = max16 // 160 + 1
-            feats["f0"] = jnp.asarray(f0.astype(np.float32))
+            feats["f0"] = self._put(f0.astype(np.float32))
             feats["f0_lens"] = jnp.asarray(min(f0_true, f0.shape[1]),
                                            jnp.int32)
         return feats

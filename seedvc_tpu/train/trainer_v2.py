@@ -303,6 +303,20 @@ class TrainerV2:
         return total
 
     # ------------------------------------------------------------------
+    def _put(self, x):
+        """Batch array -> device, sharded over the data axis, so the frozen
+        feature programs (SSL/quantizer/mel/style) compile as SPMD over
+        ``data`` on a multi-chip mesh instead of running replicated (the
+        same spreading `_shard_feats` already gives the train step).
+        Replicated fallback when the leading dim doesn't divide the axis."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = self.mesh.shape[AXES.data]
+        if (n_data > 1 and getattr(x, "ndim", 0) >= 1
+                and x.shape[0] % n_data == 0):
+            return jax.device_put(x, NamedSharding(self.mesh, P(AXES.data)))
+        return jnp.asarray(x)
+
     def prepare_batch(self, batch: Batch) -> tuple[dict, dict]:
         tcfg = self.tcfg
         vcfg = self.vcfg
@@ -314,7 +328,7 @@ class TrainerV2:
         waves = np.zeros((B, mel_T * vcfg.hop), np.float32)
         n = min(waves.shape[1], batch.waves.shape[1])
         waves[:, :n] = batch.waves[:, :n]
-        mels = np.asarray(self.mel_fn(jnp.asarray(waves)))
+        mels = np.asarray(self.mel_fn(self._put(waves)))
         posm = np.arange(mel_T)[None, :]
         mels = np.where((posm < mel_lens[:, None])[..., None], mels, -10.0)
 
@@ -323,7 +337,7 @@ class TrainerV2:
         w16_T = -(-batch.waves_16k.shape[1] // bucket) * bucket
         w16 = np.zeros((B, w16_T), np.float32)
         w16[:, : batch.waves_16k.shape[1]] = batch.waves_16k
-        feats = self._jit_ssl(self.p_ssl, jnp.asarray(w16))
+        feats = self._jit_ssl(self.p_ssl, self._put(w16))
         idx_n, idx_w = self._jit_quant(self.p_narrow, self.p_wide, feats)
         token_lens = (batch.wave_16k_lengths // 320).astype(np.int32)
         tok_T = int(-(-int(token_lens.max()) // tcfg.token_bucket)
@@ -351,8 +365,8 @@ class TrainerV2:
             (batch.wave_16k_lengths - 400) // 160 + 1, 1).astype(np.int32)
         # reuse the 5 s-bucketed batch: raw widths vary per batch and would
         # compile a new style program per width (masked, padding-invariant)
-        style = self._jit_style(self.p_campplus, jnp.asarray(w16),
-                                jnp.asarray(frame_lens))
+        style = self._jit_style(self.p_campplus, self._put(w16),
+                                self._put(frame_lens))
 
         feats_dict = {
             "mels": jnp.asarray(mels),

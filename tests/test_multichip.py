@@ -282,3 +282,48 @@ def test_seq_sharded_sampler_matches_unsharded():
         both = np.asarray(jax.jit(lambda: run("data", "model"))())
     np.testing.assert_allclose(base, seq_only, atol=2e-5)
     np.testing.assert_allclose(base, both, atol=2e-5)
+
+
+def test_data_sharded_feature_prep_matches_replicated():
+    """On-the-fly feature prep shards its host->device inputs over the
+    data axis (Trainer._put): on a multi-chip mesh the frozen-encoder
+    programs (whisper/warp/mel/style) run SPMD over `data` — the
+    documented path past the single-chip on-the-fly ceiling.  The sharded
+    prep must equal the replicated prep bit-for-bit (per-sample math only
+    crosses the batch dim at the shard boundary)."""
+    from tests.test_trainer import tiny_cfg
+    from seedvc_tpu.models.whisper import WhisperEncoderConfig
+    from seedvc_tpu.train.dataset import Batch
+    from seedvc_tpu.train.trainer import Trainer, TrainerConfig
+
+    wcfg = WhisperEncoderConfig(d_model=32, n_layers=1, n_heads=4, ffn_dim=64)
+    tcfg = TrainerConfig(data_path="", run_dir="", batch_size=2,
+                         mel_bucket=64, prefetch=0, feat_cache_bytes=0)
+    trainer = Trainer(tiny_cfg(), tcfg, whisper_cfg=wcfg, n_model=4)
+    assert trainer._n_data == 2
+
+    rng = np.random.default_rng(0)
+    waves = (rng.standard_normal((2, 22050)) * 0.1).astype(np.float32)
+    w16 = (rng.standard_normal((2, 16000)) * 0.1).astype(np.float32)
+    batch = Batch(waves, w16, np.array([22050, 20000], np.int32),
+                  np.array([16000, 14500], np.int32))
+
+    feats = trainer.prepare_batch(batch, np.random.default_rng(1), step=0)
+    # the whisper features and mels actually landed sharded over `data`
+    for key in ("s_ori", "mels"):
+        spec = feats[key].sharding.spec
+        assert "data" in tuple(spec), (key, spec)
+
+    # forcing the replicated fallback must give identical features
+    trainer._n_data = 1
+    feats_rep = trainer.prepare_batch(batch, np.random.default_rng(1), step=0)
+    for key in ("s_ori", "s_alt", "style", "mels"):
+        np.testing.assert_allclose(np.asarray(feats[key]),
+                                   np.asarray(feats_rep[key]),
+                                   rtol=0, atol=1e-6, err_msg=key)
+
+    # and the sharded feats drive one finite sharded train step
+    trainer._n_data = 2
+    state, metrics = trainer.step_fn(trainer.state, feats,
+                                     jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
