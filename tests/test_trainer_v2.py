@@ -214,3 +214,30 @@ def test_trainer_v2_save_dedupe(tmp_path):
     trainer.save(1)
     trainer.save(1)  # must be a silent no-op, not StepAlreadyExists
     assert trainer._ckpt_mgr.latest_step() == 1
+
+
+@pytest.mark.slow
+def test_v2_data_sharded_prep_matches_replicated():
+    """TrainerV2._put ships prep inputs sharded over `data`: the frozen
+    SSL/quantizer/mel/style programs run SPMD on a multi-device mesh.
+    Sharded prep must equal the replicated fallback exactly."""
+    trainer = TrainerV2(tiny_v2cfg(),
+                        TrainerV2Config(batch_size=2, mel_bucket=64,
+                                        token_bucket=32),
+                        n_model=4)
+    rng = np.random.default_rng(3)
+    B, T = 2, 33000
+    waves = (rng.standard_normal((B, T)) * 0.1).astype(np.float32)
+    batch = Batch(waves, waves[:, :24000], np.array([T, T - 4000], np.int32),
+                  np.array([24000, 21000], np.int32))
+
+    feats, dims = trainer.prepare_batch(batch)
+    assert "data" in tuple(feats["style"].sharding.spec)
+
+    trainer._put = lambda x: jnp.asarray(x)  # replicated fallback
+    feats_rep, dims_rep = trainer.prepare_batch(batch)
+    assert dims == dims_rep
+    for key in ("style", "mels", "wide_idx", "ar_cond_idx", "token_lens"):
+        np.testing.assert_allclose(np.asarray(feats[key]),
+                                   np.asarray(feats_rep[key]),
+                                   rtol=0, atol=1e-6, err_msg=key)
