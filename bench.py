@@ -1,27 +1,49 @@
-"""North-star benchmark: offline VC mel-generation throughput on one chip.
+"""North-star benchmark: full-pipeline voice conversion throughput on one chip.
 
-Measures audio-seconds generated per wall-second for the flagship model
-(seed-uvit-whisper-small-wavenet, 98M DiT + WaveNet post-net) running the
-full 25-step Euler CFM sampler with CFG (2x stacked batch) over a 30-second
-context window — the reference's standard inference configuration
-(``EVAL.md:41-52``: 25 diffusion steps, cfg 0.7; 30 s context window,
-``inference.py:470``).
+Headline metric: audio-seconds generated per wall-second for the flagship
+end-to-end pipeline (seed-uvit-whisper-small-wavenet, 98M DiT + WaveNet
+post-net: whisper -> regulate -> 25-step Euler CFM with CFG -> BigVGAN ->
+crossfade) on a 30 s source — the reference's standard inference
+configuration (``EVAL.md:41-52``: 25 diffusion steps, cfg 0.7; 30 s context
+window, ``inference.py:470``).
 
 Baseline: the reference publishes no offline RTF; its only latency figure is
 the real-time path — 0.18 s of audio in 150 ms at 10 steps on an RTX 3060
 (README.md:138-142), i.e. 1.2 audio-seconds/s.  vs_baseline is measured
 against that (conservative: we run 25 steps, not 10).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus one
-sub-object per pipeline leg, each run in an isolated child process with a
-hard timeout (VERDICT r3 next #1 — every headline number driver-visible):
+Artifact protocol (VERDICT r4 next #1 — loss-proof): a CUMULATIVE JSON line
+is printed after EVERY leg, so a driver timeout can only truncate the record,
+never zero it (the driver tail-parses the last valid line).  Legs run as
+child processes in priority order under a global budget
+(``SEEDVC_BENCH_BUDGET_S``, default 1680 s); legs that don't fit are skipped
+with an ``*_error`` note.  Every child embeds a congestion probe
+(tiny-matmul dispatch ms + tunnel MB/s, before AND after the leg) so a
+pool-congestion episode is visible IN the artifact, not just in prose.
 
-- ``e2e``          offline v1 pipeline audio-s/s (best + median of >=4 warm
-                   reps) with probe-synced stage attribution,
-- ``v2``           v2 accent conversion RTF (batched AR + 3-way CFG + vocoder),
+Legs:
+
+- ``e2e``          offline v1 pipeline audio-s/s (best + median + per-rep
+                   walls) with probe-synced stage attribution,
 - ``streaming``    realtime steady-state ms per 0.18 s block at 10 steps,
-- ``ar_decode``    AR decode tokens/s at B=1 and B=4,
-- ``train_onfly``  on-the-fly fine-tuning steps/s (prefetch vs sync).
+                   with dispatch/sync breakdown and a zero-new-compile
+                   assertion after ``set_reference`` (warm start),
+- ``v2``           v2 accent conversion RTF (batched AR + 3-way CFG +
+                   vocoder) with per-rep walls + recompile guard,
+- ``ar_decode``    AR decode tokens/s at B=1/B=4 AND the 25-step CFM
+                   sampler kernel (the r1-r3 headline, ``sampler`` sub-key),
+- ``train_onfly``  v1 on-the-fly fine-tuning steps/s (prefetch vs sync,
+                   ONE trainer so the comparison shares compiles),
+- ``train_v2``     v2 on-the-fly fine-tuning steps/s (VERDICT r4 next #6),
+- ``streaming2``   second block size (0.5 s) for the latency/occupancy
+                   curve (VERDICT r4 next #7).
+
+The JAX persistent compilation cache is enabled (``.cache/jaxcomp``):
+measured working through the axon tunnel this round, it converts the
+multi-minute per-process XLA compiles into cache hits on repeat runs, which
+is what keeps the full leg set inside the driver's timeout.  ``compile_s``
+fields therefore measure cache state, not code speed — the warm-rep numbers
+are the performance record.
 """
 
 from __future__ import annotations
@@ -31,11 +53,18 @@ import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".cache", "jaxcomp")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
 
-from seedvc_tpu.core.config import get_preset
-from seedvc_tpu.models.cfm import CFM, euler_solve
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 BASELINE_AUDIO_SEC_PER_S = 1.2  # RTX 3060 realtime block ratio (see above)
 
@@ -49,18 +78,56 @@ def _signal(seconds, seed, sr, f0=150.0):
     return (x + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
 
 
+def congestion_probe(reps: int = 5) -> dict:
+    """Pool-health instrument (VERDICT r4 weak #2: the band's instrument
+    must be IN the artifact).  Measures the two tunnel characteristics that
+    the verify-skill notes identify as the dominant measurement noise:
+    per-dispatch round-trip (tiny matmul, ~10-25 ms healthy, >100 ms
+    congested) and effective host<->device bandwidth (~50 MB/s healthy,
+    ~11 MB/s congested)."""
+    import numpy as np
+
+    f = jax.jit(lambda a: (a @ a).sum())
+    x = jnp.ones((256, 256), jnp.bfloat16)
+    t0 = time.perf_counter()
+    np.asarray(f(x))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+
+    buf = np.zeros(1 << 20, np.float32)  # 4 MB
+    t0 = time.perf_counter()
+    dev = jax.device_put(buf)
+    np.asarray(dev[:1])
+    put_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(dev)
+    fetch_s = time.perf_counter() - t0
+    mb = buf.nbytes / 1e6
+    return {
+        "tiny_ms_best": round(times[0] * 1e3, 1),
+        "tiny_ms_median": round(times[len(times) // 2] * 1e3, 1),
+        "compile_s": round(compile_s, 2),
+        "put_mb_s": round(mb / max(put_s, 1e-9), 1),
+        "fetch_mb_s": round(mb / max(fetch_s, 1e-9), 1),
+    }
+
+
+# ----------------------------------------------------------------------
 def bench_e2e(n_steps: int = 25, warm_reps: int = 4) -> dict:
     """Warm FULL-pipeline throughput: whisper -> regulate -> 25-step CFM ->
     BigVGAN -> crossfade on a 30 s source (the reference's RTF,
     ``inference.py:530``).  Random weights (timing is weight-independent).
-    Reports best AND median over ``warm_reps`` warm runs: best-of-2 was too
-    few to separate regression from the pool's documented multi-hour
-    congestion episodes (VERDICT r3 weak #1)."""
+    Reports best, median AND the per-rep walls (VERDICT r4 weak #2)."""
     import dataclasses
 
-    import numpy as np
-
     from seedvc_tpu.pipelines.convert import VoiceConverter
+
+    from seedvc_tpu.core.config import get_preset
 
     cfg = get_preset("whisper_small_wavenet")
     cfg = dataclasses.replace(cfg, model_params=dataclasses.replace(
@@ -84,9 +151,10 @@ def bench_e2e(n_steps: int = 25, warm_reps: int = 4) -> dict:
     vc.convert(src, sr, ref, sr, diffusion_steps=n_steps, profile=True)
     _, _, pstats = vc.convert(src, sr, ref, sr, diffusion_steps=n_steps,
                               profile=True)
-    walls = sorted(
+    rep_walls = [
         vc.convert(src, sr, ref, sr, diffusion_steps=n_steps, seed=i + 1)[2]
-        ["wall_seconds"] for i in range(warm_reps))
+        ["wall_seconds"] for i in range(warm_reps)]
+    walls = sorted(rep_walls)
     best = walls[0]
     median = walls[(len(walls) - 1) // 2]
     audio_s = len(src) / sr
@@ -100,7 +168,8 @@ def bench_e2e(n_steps: int = 25, warm_reps: int = 4) -> dict:
         "unit": "audio_seconds_per_second",
         "rtf": round(best / audio_s, 5),
         "rtf_median": round(median / audio_s, 5),
-        "warm_reps": warm_reps,
+        "rep_walls_s": [round(w, 3) for w in rep_walls],
+        "compile_s": round(compile_s, 1),
         "profiled_wall_s": round(pstats["wall_seconds"], 3),
         "stages_profiled_s": {k: round(v["seconds"], 4)
                               for k, v in pstats["stages"].items()},
@@ -113,9 +182,14 @@ def bench_streaming(block_time: float = 0.18, steps: int = 10,
     settings (10 diffusion steps, 0.18 s block — README.md:138-142: 150 ms
     inference per block on an RTX 3060).  Runs the xlsr-tiny realtime model
     (HiFT vocoder) through the fused one-dispatch block program with the
-    VAD gate off (white-noise input would otherwise time the skip path)."""
+    VAD gate off (white-noise input would otherwise time the skip path).
+
+    ``set_reference`` compiles AND warms both block programs (VERDICT r4
+    next #3), so block 0 must run at steady-state latency — pinned here by
+    a zero-new-compile assertion over the block loop."""
     import numpy as np
 
+    from seedvc_tpu.core.config import get_preset
     from seedvc_tpu.models.whisper import WHISPER_SMALL, WhisperEncoderConfig
     from seedvc_tpu.pipelines.convert import VoiceConverter
     from seedvc_tpu.pipelines.streaming import StreamConfig, StreamingConverter
@@ -136,15 +210,19 @@ def bench_streaming(block_time: float = 0.18, steps: int = 10,
     ref = (rng.standard_normal(conv.sr * 3) * 0.1).astype(np.float32)
     t0 = time.perf_counter()
     stream.set_reference(ref, conv.sr)
-    print(f"streaming set_reference (compile): "
-          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    set_ref_s = time.perf_counter() - t0
+    print(f"streaming set_reference (compile+warm): {set_ref_s:.1f}s",
+          file=sys.stderr)
 
-    times = []
+    cache0 = stream._fused._cache_size()
+    times, dispatch, sync = [], [], []
     for i in range(n_blocks):
         block = (rng.standard_normal(stream.block) * 0.1).astype(np.float32)
         t0 = time.perf_counter()
         stream.process_block(block)
         times.append(time.perf_counter() - t0)
+        dispatch.append(stream.last_timings["dispatch_ms"])
+        sync.append(stream.last_timings["sync_ms"])
     steady = float(np.median(times[3:]))
     print(f"streaming blocks ms: "
           f"{['%.0f' % (t * 1e3) for t in times]}", file=sys.stderr)
@@ -156,8 +234,19 @@ def bench_streaming(block_time: float = 0.18, steps: int = 10,
         "diffusion_steps": steps,
         "occupancy": round(steady / block_time, 3),
         "realtime_ok": bool(steady < block_time),
+        "block0_ms": round(times[0] * 1e3, 1),
+        "set_reference_s": round(set_ref_s, 1),
+        "dispatch_ms_median": float(np.median(dispatch[3:])),
+        "sync_ms_median": float(np.median(sync[3:])),
+        "new_compiles_in_blocks": stream._fused._cache_size() - cache0,
         "reference_ms": 150.0,  # RTX 3060 (README.md:138-142)
     }
+
+
+def bench_streaming2() -> dict:
+    """Second block size for the latency/occupancy curve (the reference GUI
+    exposes block time as a user knob, ``real-time-gui.py``)."""
+    return bench_streaming(block_time=0.5, n_blocks=10)
 
 
 def bench_v2(src_secs: float = 60.0, ref_secs: float = 3.0,
@@ -166,8 +255,8 @@ def bench_v2(src_secs: float = 60.0, ref_secs: float = 3.0,
     3-way multi-cond CFG CFM -> BigVGAN, full-size random weights
     (reference ``inference_v2.py`` path; 60 s source so the duration-
     reduced tokens span >1500 and the AR chunks decode as ONE batched
-    call — ``pipelines/convert_v2.py`` left-padded batching; the JSON
-    carries ``ar_batch`` so a collapse back to B=1 is visible)."""
+    call).  Per-rep walls + a recompile guard after the first warm rep
+    (VERDICT r4 weak #4: the 5.77 -> 9.69 s spread must be attributable)."""
     import numpy as np
 
     from seedvc_tpu.pipelines.convert_v2 import VoiceConverterV2
@@ -193,17 +282,29 @@ def bench_v2(src_secs: float = 60.0, ref_secs: float = 3.0,
 
     t0 = time.perf_counter()
     _, wave, stats = v2.convert_voice(src, sr, ref, sr, **kw)
-    print(f"v2 compile+first conversion: {time.perf_counter() - t0:.1f}s "
+    compile_s = time.perf_counter() - t0
+    print(f"v2 compile+first conversion: {compile_s:.1f}s "
           f"(wide_tokens {stats['wide_tokens']}, "
           f"ar_batch {stats['ar_batch']})", file=sys.stderr)
 
-    walls = sorted(
-        v2.convert_voice(src, sr, ref, sr, seed=i + 1, **kw)[2]
-        ["wall_seconds"] for i in range(warm_reps))
+    fns = [v2._sample_vocode_fn, v2._content_fn, v2._style_fn,
+           v2._cfm_reg_fn, v2._ar_reg_fn, v2._generate, v2._chunk_fn]
+    rep_walls = []
+    new_compiles = 0
+    for i in range(warm_reps):
+        rep_walls.append(v2.convert_voice(src, sr, ref, sr, seed=i + 1,
+                                          **kw)[2]["wall_seconds"])
+        if i == 0:
+            sizes = [f._cache_size() for f in fns]
+        else:
+            new_compiles += sum(f._cache_size() - s
+                                for f, s in zip(fns, sizes))
+            sizes = [f._cache_size() for f in fns]
+    walls = sorted(rep_walls)
     best, median = walls[0], walls[(len(walls) - 1) // 2]
     audio_s = len(wave) / sr
     print(f"v2 warm: best {best:.3f}s / median {median:.3f}s for "
-          f"{audio_s:.1f}s audio", file=sys.stderr)
+          f"{audio_s:.1f}s audio; walls {rep_walls}", file=sys.stderr)
     return {
         "metric": "v2_accent_conversion_throughput",
         "value": round(audio_s / best, 3),
@@ -214,17 +315,24 @@ def bench_v2(src_secs: float = 60.0, ref_secs: float = 3.0,
         "source_seconds": src_secs,
         "wide_tokens": int(stats["wide_tokens"]),
         "ar_batch": int(stats["ar_batch"]),
-        "warm_reps": warm_reps,
+        "rep_walls_s": [round(w, 3) for w in rep_walls],
+        "compile_s": round(compile_s, 1),
+        # >0 would mean the warm-rep spread includes hidden recompiles
+        # rather than pool congestion (VERDICT r4 weak #4)
+        "new_compiles_after_first_warm": int(new_compiles),
     }
 
 
 def bench_ar() -> dict:
-    """AR incremental-decode tokens/s at B=1 and B=4 (VERDICT r2 bar:
-    B=4 aggregate >= 2.5x B=1)."""
-    from seedvc_tpu.apps.microbench import bench_ar_decode
+    """AR incremental-decode tokens/s at B=1/B=4 (VERDICT r2 bar: B=4
+    aggregate >= 2.5x B=1) PLUS the 25-step CFM sampler kernel — the
+    r1-r3 headline metric (B=1, T=2560, CFG stack), kept as a
+    hold-the-line watch item (bar: >= 100 audio-s/s)."""
+    from seedvc_tpu.apps.microbench import bench_ar_decode, bench_serving
 
     r1 = bench_ar_decode(B=1)
     r4 = bench_ar_decode(B=4)
+    samp = bench_serving(B=1)
     return {
         "metric": "ar_decode_tokens_per_s",
         "b1": r1["tokens_per_s"],
@@ -232,219 +340,160 @@ def bench_ar() -> dict:
         "b1_ms_per_token": r1["ms_per_token"],
         "b4_vs_b1": round(r4["tokens_per_s"] / max(r1["tokens_per_s"], 1e-9),
                           2),
+        "sampler": {
+            "metric": "offline_vc_mel_generation_throughput",
+            "value": samp["audio_s_per_s"],
+            "unit": "audio_seconds_per_second",
+            "vs_baseline": round(samp["audio_s_per_s"]
+                                 / BASELINE_AUDIO_SEC_PER_S, 3),
+        },
     }
 
 
 def bench_train() -> dict:
     """On-the-fly v1 fine-tuning steps/s, prefetch worker vs synchronous
-    (reference-style) schedule."""
-    from seedvc_tpu.apps.microbench import bench_train_onfly
+    (reference-style) schedule — ONE trainer for both, so the sync variant
+    reuses every compile (the r4 leg paid the multi-minute feature-program
+    compiles twice and blew the leg budget)."""
+    from seedvc_tpu.apps.microbench import bench_train_onfly_pair
 
-    rp = bench_train_onfly(prefetch=2)
-    rs = bench_train_onfly(prefetch=0)
-    return {
-        "metric": "train_onfly_steps_per_s",
-        "prefetch": rp["steps_per_s"],
-        "sync": rs["steps_per_s"],
-    }
+    return {"metric": "train_onfly_steps_per_s",
+            **bench_train_onfly_pair()}
 
 
-def _run_leg(key: str, flag: str, budget_s: int) -> dict:
+def bench_train_v2() -> dict:
+    """On-the-fly v2 fine-tuning steps/s (VERDICT r4 next #6: v1's 7.7x
+    on-the-fly win had an unmeasured v2 twin)."""
+    from seedvc_tpu.apps.microbench import bench_train_onfly_v2
+
+    return {"metric": "train_v2_onfly_steps_per_s",
+            **bench_train_onfly_v2()}
+
+
+# ----------------------------------------------------------------------
+# (key, expected wall s, hard timeout s, leg function) in priority order.
+# expected values are calibrated session measurements with a warm compile
+# cache; the budget gate skips legs that no longer fit instead of letting
+# the driver kill the whole record (VERDICT r4 weak #1).
+LEGS = [
+    ("e2e", 300, 420, bench_e2e),
+    ("streaming", 280, 420, bench_streaming),
+    ("v2", 420, 620, bench_v2),
+    ("ar_decode", 260, 380, bench_ar),
+    ("train_onfly", 340, 480, bench_train),
+    ("train_v2", 320, 460, bench_train_v2),
+    ("streaming2", 230, 330, bench_streaming2),
+]
+
+
+def _run_child(key: str, budget_s: int) -> dict:
     """Run one benchmark leg in a CHILD process under a hard timeout.
 
-    The big fused programs can take 3-6 min to compile through the axon
-    tunnel (longer during pool congestion); isolating each leg keeps the
-    main metric safe from a hung compile, and children run sequentially
-    BEFORE this process touches the TPU so there is never a second active
-    TPU client.
+    Children run sequentially and the parent never opens the TPU, so there
+    is never a second active TPU client through the axon tunnel.  The child
+    brackets its leg with congestion probes.
     """
     import subprocess
 
     t0 = time.perf_counter()
     try:
         proc = subprocess.run(
-            [sys.executable, __file__, flag],
+            [sys.executable, __file__, "--child", key],
             capture_output=True, text=True, timeout=budget_s)
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        err = e.stderr
+        if err:
+            sys.stderr.write(err.decode() if isinstance(err, bytes) else err)
         print(f"[bench] leg {key}: TIMEOUT after {budget_s}s",
               file=sys.stderr)
         return {f"{key}_error": f"timeout after {budget_s}s"}
     sys.stderr.write(proc.stderr)
-    print(f"[bench] leg {key}: {time.perf_counter() - t0:.0f}s",
-          file=sys.stderr)
+    wall = time.perf_counter() - t0
+    print(f"[bench] leg {key}: {wall:.0f}s", file=sys.stderr)
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
-            return {key: json.loads(line)}
+            leg = json.loads(line)
+            leg["leg_wall_s"] = round(wall, 1)
+            return {key: leg}
         except json.JSONDecodeError:
             continue
     return {f"{key}_error": f"no JSON from child (exit {proc.returncode})"}
 
 
-# (key, child flag, per-leg budget seconds, leg function)
-LEGS = [
-    ("e2e", "--e2e-only", 1500, bench_e2e),
-    ("v2", "--v2-only", 1500, bench_v2),
-    ("streaming", "--streaming-only", 1100, bench_streaming),
-    ("ar_decode", "--ar-only", 800, bench_ar),
-    ("train_onfly", "--train-only", 1300, bench_train),
-]
+def _child_main(key: str):
+    fn = dict((k, f) for k, _e, _h, f in LEGS)[key]
+    probe = congestion_probe()
+    result = fn()
+    result["probe"] = probe
+    result["probe_after"] = congestion_probe(reps=3)
+    print(json.dumps(result), flush=True)
 
 
 def main():
     import argparse
-    import dataclasses
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--trace-dir", default=None,
-                    help="write a jax.profiler trace of one sampler run")
-    ap.add_argument("--skip-e2e", action="store_true",
-                    help="skip ALL pipeline legs (slow compiles); sampler "
-                         "metric only")
+    ap.add_argument("--child", default=None,
+                    help="(internal) run one leg in this process")
     ap.add_argument("--legs", default=None,
                     help="comma-separated subset of legs to run "
                          f"({','.join(k for k, *_ in LEGS)}); default all")
-    for key, flag, _budget, fn in LEGS:
-        ap.add_argument(flag, dest=f"only_{key}", action="store_true",
-                        help=f"(internal) run only the {key} leg")
-    bench_args, _ = ap.parse_known_args()
+    ap.add_argument("--skip-e2e", action="store_true",
+                    help="skip all pipeline legs (debug)")
+    ap.add_argument("--budget", type=int, default=None,
+                    help="global wall budget seconds (default env "
+                         "SEEDVC_BENCH_BUDGET_S or 1680)")
+    args, _ = ap.parse_known_args()
 
-    for key, _flag, _budget, fn in LEGS:
-        if getattr(bench_args, f"only_{key}"):
-            print(json.dumps(fn()))
-            return
+    if args.child:
+        _child_main(args.child)
+        return
 
-    # pipeline legs first, each in its own child, before this process opens
-    # the TPU (one TPU client at a time through the tunnel).  A global
-    # budget bounds the total: a congested pool degrades to fewer legs with
-    # *_error notes, never a hung or overlong bench.
-    leg_records: dict = {}
+    budget = args.budget or int(os.environ.get("SEEDVC_BENCH_BUDGET_S",
+                                               "1680"))
     want = None
-    if bench_args.legs is not None:
-        want = set(bench_args.legs.split(","))
+    if args.legs is not None:
+        want = set(args.legs.split(","))
     env_legs = os.environ.get("SEEDVC_BENCH_LEGS")
     if want is None and env_legs is not None:
         want = set(env_legs.split(","))
-    skip_all = (bench_args.skip_e2e
-                or os.environ.get("SEEDVC_BENCH_E2E") == "0")
-    if not skip_all:
-        deadline = time.monotonic() + int(
-            os.environ.get("SEEDVC_BENCH_BUDGET_S", "5400"))
-        for key, flag, leg_budget, _fn in LEGS:
-            if want is not None and key not in want:
-                continue
-            remaining = deadline - time.monotonic()
-            if remaining < 120:
-                leg_records[f"{key}_error"] = "global bench budget exhausted"
-                continue
-            leg_records.update(
-                _run_leg(key, flag, int(min(leg_budget, remaining))))
+    skip_all = args.skip_e2e or os.environ.get("SEEDVC_BENCH_E2E") == "0"
 
-    cfg = get_preset("whisper_small_wavenet")
-    # Pallas flash attention with tuned block sizes (block_q 1024 / block_k
-    # 512): 2.1x faster DiT forward than XLA's materialised attention at this
-    # shape (16.6 ms vs 34.9 ms, B=2 T=2560).
-    mp = dataclasses.replace(
-        cfg.model_params,
-        DiT=dataclasses.replace(cfg.model_params.DiT,
-                                use_flash_attention=True))
-    sr = cfg.preprocess_params.sr
-    hop = cfg.preprocess_params.spect_params.hop_length
-
-    # ~30 s context window rounded to a flash-friendly multiple of 512:
-    # prompt (3 s) + source chunk (~26.7 s).
-    T = 2560
-    prompt_len = int(sr / hop * 3)  # 258 frames
-    n_steps = 25
-    cfg_rate = 0.7
-    B = 1
-    C = mp.DiT.in_channels
-    D = mp.DiT.content_dim
-    compute_dtype = jnp.bfloat16
-
-    cfm = CFM(mp)
-    key = jax.random.PRNGKey(0)
-    x0 = jnp.zeros((B, T, C), compute_dtype)
-    lens = jnp.full((B,), T, jnp.int32)
-    t0 = jnp.zeros((B,), jnp.float32)
-    style = jax.random.normal(key, (B, mp.style_encoder.dim), compute_dtype)
-    cond = jax.random.normal(key, (B, T, D), compute_dtype)
-    variables = cfm.init(key, x0, x0, lens, t0, style, cond, method=cfm.estimate)
-    # bf16 inference params: halves weight HBM traffic and keeps RMSNorm /
-    # softmax f32 internally (reference runs fp16 on GPU by default).
-    # Measured: 14.0 -> 12.5 ms/step together with the 1280/1280 flash blocks.
-    variables = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        variables)
-
-    @jax.jit
-    def sample(variables, key, cond, style):
-        def estimate_fn(x, p, l, t, s, m, sc=None):
-            return cfm.apply(variables, x, p, l, t, s, m, static_cond=sc,
-                             method=cfm.estimate)
-
-        def precompute_fn(x, p, l, s, m):
-            return cfm.apply(variables, x, p, l, s, m,
-                             method=cfm.precompute_cond)
-
-        # x_lens=None: the 30 s window is fully used (the reference's
-        # standard config), which statically removes every masking pass;
-        # precompute_fn hoists the step-invariant conditioning matmuls out
-        # of the 25-step scan.
-        return euler_solve(
-            estimate_fn, key, cond, None,
-            jnp.zeros((B, T, C), compute_dtype), prompt_len, style,
-            n_mels=C, n_timesteps=n_steps, cfg_rate=cfg_rate,
-            precompute_fn=precompute_fn)
-
-    import numpy as np
-
-    # Warmup / compile.  Sync with np.asarray: through the axon tunnel,
-    # block_until_ready can return before execution finishes (observed: a
-    # 0.3 s program "timed" at 1 ms).
-    t_compile = time.perf_counter()
-    np.asarray(sample(variables, key, cond, style))
-    print(f"compile+first run: {time.perf_counter() - t_compile:.1f}s",
-          file=sys.stderr)
-
-    # Queue N async calls, sync once on the last: amortises the single
-    # host<->device result transfer (~0.8 MB over a ~50 MB/s tunnel link)
-    # across the batch instead of paying it per measurement.
-    N_CALLS = 3
-    times = []
-    for i in range(3):
-        t0_ = time.perf_counter()
-        out = None
-        for j in range(N_CALLS):
-            out = sample(variables, jax.random.PRNGKey(1 + i * N_CALLS + j),
-                         cond, style)
-        np.asarray(out)
-        times.append((time.perf_counter() - t0_) / N_CALLS)
-    best = min(times)
-
-    if bench_args.trace_dir:
-        from seedvc_tpu.core.profiling import trace
-
-        with trace(bench_args.trace_dir):
-            sample(variables, jax.random.PRNGKey(99), cond,
-                   style).block_until_ready()
-        print(f"trace written to {bench_args.trace_dir}", file=sys.stderr)
-
-    audio_seconds = (T - prompt_len) * hop / sr
-    value = audio_seconds / best
-    print(f"times={['%.3f' % t for t in times]} audio_s={audio_seconds:.2f}",
-          file=sys.stderr)
-
-    # End-to-end pipeline metric (VERDICT r2 #2): the sampler above is the
-    # hot kernel, but the conversion path is the north star.  Carried as
-    # extra keys on the same single JSON line.
     record = {
-        "metric": "offline_vc_mel_generation_throughput",
-        "value": round(value, 3),
+        "metric": "offline_vc_pipeline_throughput",
+        "value": None,
         "unit": "audio_seconds_per_second",
-        "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_S, 3),
+        "vs_baseline": None,
+        "budget_s": budget,
+        "legs_done": [],
+        "complete": False,
     }
-    record.update(leg_records)
-    print(json.dumps(record))
+    # first line immediately: a kill during leg 1 still leaves valid JSON
+    print(json.dumps(record), flush=True)
+
+    deadline = time.monotonic() + budget
+    for key, expected_s, hard_s, _fn in LEGS:
+        if skip_all or (want is not None and key not in want):
+            continue
+        remaining = deadline - time.monotonic()
+        if remaining < max(120, 0.7 * expected_s):
+            record[f"{key}_error"] = (
+                f"skipped: {remaining:.0f}s left < expected {expected_s}s")
+            print(json.dumps(record), flush=True)
+            continue
+        record.update(_run_child(key, int(min(hard_s, remaining))))
+        if key in record:
+            record["legs_done"] = record["legs_done"] + [key]
+        if key == "e2e" and "e2e" in record:
+            record["value"] = record["e2e"].get("value")
+            if record["value"]:
+                record["vs_baseline"] = round(
+                    record["value"] / BASELINE_AUDIO_SEC_PER_S, 3)
+        print(json.dumps(record), flush=True)
+
+    record["complete"] = True
+    record["total_wall_s"] = round(budget - (deadline - time.monotonic()), 1)
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

@@ -248,9 +248,11 @@ def bench_serving(B=4, T=2560, n_steps=25):
     np.asarray(out)
     dt = (time.perf_counter() - t0) / 3
     audio_s = B * (T - prompt_len) * hop / sr
-    print(json.dumps({"name": f"serving B{B} T{T} {n_steps}-step",
-                      "ms": round(dt * 1e3, 2),
-                      "audio_s_per_s": round(audio_s / dt, 2)}))
+    row = {"name": f"serving B{B} T{T} {n_steps}-step",
+           "ms": round(dt * 1e3, 2),
+           "audio_s_per_s": round(audio_s / dt, 2)}
+    print(json.dumps(row))
+    return row
 
 
 def bench_vocoder(B=1, T=512):
@@ -440,6 +442,123 @@ def bench_train_onfly(B=4, steps=12, prefetch=2):
     print(json.dumps({"name": f"train_onfly_steps_per_s_{tag}",
                       "value": row["steps_per_s"]}))
     return row
+
+
+def bench_train_onfly_pair(B=4, steps=10):
+    """v1 on-the-fly steps/s, prefetch vs sync, from ONE trainer.
+
+    ``Trainer.train`` reads ``self.tcfg.prefetch`` per call, so toggling the
+    schedule between measurements reuses every compiled program (feature
+    prep + SPMD step) — the separate-trainer variant paid the multi-minute
+    compiles twice (r4 bench train leg: 626 s, mostly duplicate compiles).
+    The feature cache is fully warm before BOTH measured phases (warmup
+    covers all 2B clips), so the schedules see identical prep work."""
+    import dataclasses as dc
+    import os
+    import tempfile
+    import time as _time
+
+    from seedvc_tpu.apps.audio_io import save_wav
+    from seedvc_tpu.core.config import get_preset
+    from seedvc_tpu.train.dataset import FTDataset
+    from seedvc_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = get_preset("whisper_small_wavenet")
+    sr = cfg.preprocess_params.sr
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="onfly_")
+    # clips 5.7-5.86 s: mel lens 491-505 all land in the SAME 128-frame
+    # bucket (512) and the same 6 s whisper bucket -> zero recompiles after
+    # warmup
+    for i in range(2 * B):
+        secs = 5.7 + 0.02 * i
+        t = np.arange(int(secs * sr)) / sr
+        w = (0.3 * np.sin(2 * np.pi * 150 * t)
+             + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        save_wav(os.path.join(tmp, f"c{i}.wav"), w, sr)
+
+    warm = 3
+    tcfg = TrainerConfig(run_dir="", batch_size=B, epochs=10 ** 6,
+                         max_steps=warm, log_interval=10 ** 9,
+                         save_interval=10 ** 9, mel_bucket=128,
+                         prefetch=2)
+    trainer = Trainer(cfg, tcfg)
+    ds = FTDataset(tmp, sr, batch_size=B)
+    t0 = _time.perf_counter()
+    trainer.train(ds)  # compile + warm (features cached for all clips)
+    compile_s = _time.perf_counter() - t0
+    print(f"  [train_onfly] compile+warm ({warm} steps): {compile_s:.1f}s")
+
+    out = {"compile_warm_s": round(compile_s, 1)}
+    done = warm
+    for tag, depth in (("prefetch", 2), ("sync", 0)):
+        trainer.tcfg = dc.replace(tcfg, prefetch=depth,
+                                  max_steps=done + steps)
+        t0 = _time.perf_counter()
+        final = trainer.train(ds)
+        dt = (_time.perf_counter() - t0) / (final - done)
+        done = final
+        out[tag] = round(1.0 / dt, 2)
+        print(json.dumps({"name": f"train_onfly_steps_per_s_{tag}",
+                          "value": out[tag]}))
+    return out
+
+
+def bench_train_onfly_v2(B=2, steps=8):
+    """v2 on-the-fly fine-tuning steps/s (full-size HuBERT-large + ASTRAL
+    + DiTV2 + AR), prefetch vs sync from ONE trainer — the v2 twin of
+    ``bench_train_onfly_pair`` (VERDICT r4 next #6)."""
+    import dataclasses as dc
+    import os
+    import tempfile
+    import time as _time
+
+    from seedvc_tpu.apps.audio_io import save_wav
+    from seedvc_tpu.pipelines.convert_v2 import V2Config
+    from seedvc_tpu.train.dataset import FTDataset
+    from seedvc_tpu.train.trainer_v2 import TrainerV2, TrainerV2Config
+
+    vcfg = V2Config()
+    sr = vcfg.sr
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="onfly_v2_")
+    # clips in one 5 s SSL bucket + one 128-frame mel bucket: zero
+    # recompiles after warmup (same shaping rationale as the v1 pair)
+    for i in range(2 * B):
+        secs = 4.2 + 0.02 * i
+        t = np.arange(int(secs * sr)) / sr
+        w = (0.3 * np.sin(2 * np.pi * (150 + 7 * i) * t)
+             + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        save_wav(os.path.join(tmp, f"c{i}.wav"), w, sr)
+
+    warm = 3
+    # token_bucket 256 >= every possible raw/reduced token count for these
+    # clips: ar_C/tok_T stay one static bucket across shuffled batch
+    # compositions (a 64 bucket could straddle a boundary and recompile
+    # mid-measurement)
+    tcfg = TrainerV2Config(batch_size=B, epochs=10 ** 6, max_steps=warm,
+                           log_interval=10 ** 9, save_interval=10 ** 9,
+                           prefetch=2, token_bucket=256)
+    trainer = TrainerV2(vcfg, tcfg)
+    ds = FTDataset(tmp, sr, batch_size=B)
+    t0 = _time.perf_counter()
+    trainer.train(ds)
+    compile_s = _time.perf_counter() - t0
+    print(f"  [train_onfly_v2] compile+warm ({warm} steps): {compile_s:.1f}s")
+
+    out = {"compile_warm_s": round(compile_s, 1)}
+    done = warm
+    for tag, depth in (("prefetch", 2), ("sync", 0)):
+        trainer.tcfg = dc.replace(tcfg, prefetch=depth,
+                                  max_steps=done + steps)
+        t0 = _time.perf_counter()
+        final = trainer.train(ds)
+        dt = (_time.perf_counter() - t0) / (final - done)
+        done = final
+        out[tag] = round(1.0 / dt, 2)
+        print(json.dumps({"name": f"train_onfly_v2_steps_per_s_{tag}",
+                          "value": out[tag]}))
+    return out
 
 
 ALL = {

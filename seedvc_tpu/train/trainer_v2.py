@@ -175,10 +175,34 @@ class TrainerV2:
                                                fsdp_axis=fsdp_axis)),
             state.step)
 
-        self._jit_ssl = jax.jit(lambda p, w: self.ssl.apply({"params": p}, w))
-        self._jit_quant = jax.jit(
-            lambda pn, pw, f: (self.narrow.apply({"params": pn}, f)[1],
-                               self.wide.apply({"params": pw}, f)[1]))
+        # Content extraction as ONE dispatch: SSL trunk + both quantizers +
+        # the wide-index padding mask (each extra dispatch costs ~10-25 ms
+        # through the axon tunnel).  idx_n is fetched to host anyway (the
+        # duration reduction is data-dependent host code); idx_w stays
+        # device-resident.
+        def _content_fwd(p_ssl, p_n, p_w, w16, token_lens, out_T):
+            f = self.ssl.apply({"params": p_ssl}, w16)
+            idx_n = self.narrow.apply({"params": p_n}, f)[1]
+            idx_w = self.wide.apply({"params": p_w}, f)[1]
+            pos = jnp.arange(idx_w.shape[1])[None, :]
+            idx_w = jnp.where(pos < token_lens[:, None], idx_w, 0)
+            # crop to the (64-bucketed) batch token count in-program: a
+            # host-side slice would be one more tiny dispatch per step
+            return idx_n[:, :out_T], idx_w[:, :out_T]
+
+        self._jit_content = jax.jit(_content_fwd,
+                                    static_argnames=("out_T",))
+
+        # mel + pad-to--10 mask on device (v1 Trainer._jit_mel pattern):
+        # keeps the mel batch device-resident instead of a host round-trip
+        # through the ~50 MB/s tunnel every step (VERDICT r4 weak #7).
+        def _mel_fwd(waves, mel_lens):
+            mels = self.mel_fn(waves)
+            pos = jnp.arange(mels.shape[1])[None, :]
+            return jnp.where((pos < mel_lens[:, None])[..., None],
+                             mels, -10.0)
+
+        self._jit_mel = jax.jit(_mel_fwd)
         # True-length style extraction (reference per-sample loop semantics,
         # train_v2 inherits train.py:841-869 via compute_style): masked
         # mean-sub + masked CAMPPlus equals per-sample true-length compute.
@@ -322,30 +346,29 @@ class TrainerV2:
         vcfg = self.vcfg
         B = batch.waves.shape[0]
 
-        # mels (bucketed, pad -10)
+        # mels (bucketed, pad -10) — computed AND masked on device
         mel_lens = batch.wave_lengths // vcfg.hop
         mel_T = int(-(-int(mel_lens.max()) // tcfg.mel_bucket) * tcfg.mel_bucket)
         waves = np.zeros((B, mel_T * vcfg.hop), np.float32)
         n = min(waves.shape[1], batch.waves.shape[1])
         waves[:, :n] = batch.waves[:, :n]
-        mels = np.asarray(self.mel_fn(self._put(waves)))
-        posm = np.arange(mel_T)[None, :]
-        mels = np.where((posm < mel_lens[:, None])[..., None], mels, -10.0)
+        mels = self._jit_mel(self._put(waves),
+                             self._put(mel_lens.astype(np.int32)))
 
-        # content tokens
+        # content tokens (one fused SSL+quantizer+mask dispatch)
         bucket = 5 * 16000
         w16_T = -(-batch.waves_16k.shape[1] // bucket) * bucket
         w16 = np.zeros((B, w16_T), np.float32)
         w16[:, : batch.waves_16k.shape[1]] = batch.waves_16k
-        feats = self._jit_ssl(self.p_ssl, self._put(w16))
-        idx_n, idx_w = self._jit_quant(self.p_narrow, self.p_wide, feats)
         token_lens = (batch.wave_16k_lengths // 320).astype(np.int32)
         tok_T = int(-(-int(token_lens.max()) // tcfg.token_bucket)
                     * tcfg.token_bucket)
-        idx_n = np.asarray(idx_n)[:, :tok_T]
-        idx_w = np.asarray(idx_w)[:, :tok_T]
-        posT = np.arange(idx_w.shape[1])[None, :]
-        idx_w = np.where(posT < token_lens[:, None], idx_w, 0)
+        idx_n_dev, idx_w = self._jit_content(
+            self.p_ssl, self.p_narrow, self.p_wide, self._put(w16),
+            self._put(token_lens), min(tok_T, w16_T // 320))
+        # narrow indices come to host (duration reduction is data-dependent
+        # host code; a few KB over the tunnel); wide stays on device
+        idx_n = np.asarray(idx_n_dev)
 
         # duration-reduced AR condition (host-side, data dependent)
         ar_cond_lens = np.zeros(B, np.int32)
@@ -369,9 +392,9 @@ class TrainerV2:
                                 self._put(frame_lens))
 
         feats_dict = {
-            "mels": jnp.asarray(mels),
+            "mels": mels,
             "mel_lens": jnp.asarray(mel_lens.astype(np.int32)),
-            "wide_idx": jnp.asarray(idx_w),
+            "wide_idx": idx_w,
             "token_lens": jnp.asarray(token_lens),
             "tok_max": jnp.asarray(int(token_lens.max()), jnp.int32),
             "ar_cond_idx": jnp.asarray(ar_cond_idx),
