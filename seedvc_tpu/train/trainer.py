@@ -451,7 +451,10 @@ class Trainer:
         # Perturb-invariant per-clip features (clean s_ori + style) are
         # cached on device across epochs: the whisper program zero-pads to
         # the full 30 s window inside the jit, so a cached row is
-        # bit-identical to recomputing it in any batch composition.
+        # bit-identical to recomputing it in any batch composition.  The
+        # perturbed branch recompiles as a B-batch alt-only program on
+        # hits (vs the 2B fused pair program) — same math, float-epsilon
+        # program noise (~5e-7; pinned by tests/test_feat_cache.py).
         ids = batch.ids if tb.feat_cache_bytes > 0 else None
         cached = (ids is not None
                   and all(int(i) in self._feat_cache for i in ids))
