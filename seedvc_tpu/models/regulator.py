@@ -52,6 +52,31 @@ def nearest_interpolate(x: jax.Array, target_len: int) -> jax.Array:
     return x[:, idx, :]
 
 
+class MaskedGroupNorm(nn.Module):
+    """GroupNorm (num_groups=1) whose statistics span only the first
+    ``out_len`` time positions of a padded static buffer — torch
+    ``nn.GroupNorm(1, C)`` over a tensor that really ends at ``out_len``
+    (the reference regulator's case).  Param tree matches ``nn.GroupNorm``
+    ({scale, bias}) for checkpoint-converter compatibility; eps matches
+    torch's 1e-5 (flax defaults to 1e-6)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, h: jax.Array, valid: jax.Array,
+                 out_len: jax.Array) -> jax.Array:
+        C = h.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        hm = (h * valid).astype(jnp.float32)
+        n = jnp.maximum(out_len, 1).astype(jnp.float32) * C
+        mean = hm.sum(axis=(1, 2), keepdims=True) / n
+        var = (((h.astype(jnp.float32) - mean) ** 2) * valid).sum(
+            axis=(1, 2), keepdims=True) / n
+        normed = (h.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        return (normed * scale + bias).astype(h.dtype)
+
+
 def nearest_interpolate_to(x: jax.Array, out_len: jax.Array,
                            target_len: int,
                            in_len: Optional[jax.Array] = None) -> jax.Array:
@@ -71,7 +96,17 @@ def nearest_interpolate_to(x: jax.Array, out_len: jax.Array,
     """
     t_in = in_len if in_len is not None else x.shape[1]
     j = jnp.arange(target_len)
-    idx = jnp.minimum(j * t_in // jnp.maximum(out_len, 1), t_in - 1)
+    # torch F.interpolate(mode='nearest') computes floor(j * float(in/out)):
+    # at exact-multiple positions (j*t_in % out_len == 0) the FLOAT scale of
+    # a non-dyadic ratio rounds below the rational value, selecting the
+    # PREVIOUS source frame — integer division j*t_in//out_len picked the
+    # next one and diverged from the reference every lcm-th frame (caught by
+    # tests/test_cross_impl_pipeline.py).  Float32 reproduces the double
+    # kernel's choice for all realistic lengths (error < t_in/2^24 frames).
+    scale = (jnp.asarray(t_in, jnp.float32)
+             / jnp.maximum(jnp.asarray(out_len, jnp.float32), 1.0))
+    idx = jnp.floor(j.astype(jnp.float32) * scale).astype(jnp.int32)
+    idx = jnp.minimum(idx, jnp.asarray(t_in, jnp.int32) - 1)
     return jnp.take(x, idx, axis=1)
 
 
@@ -167,10 +202,22 @@ class InterpolateRegulator(nn.Module):
                 h = h + nearest_interpolate_to(f0_embed(q), out_len,
                                                target_len, in_len=f0_lens)
 
+        # Conv/norm over the STATIC buffer must behave as if the buffer
+        # ended at ``out_len`` (= ylens.max()), exactly like the reference,
+        # whose tensors really are out_len long (``length_regulator.py:120``):
+        # - positions >= out_len are zeroed before every conv, so a conv at
+        #   out_len-1 reads zeros — identical to torch's 'SAME' zero pad,
+        # - GroupNorm statistics count ONLY the first out_len positions —
+        #   unmasked stats over the padded bucket shifted EVERY output frame
+        #   (caught by tests/test_cross_impl_pipeline.py).
+        valid = (jnp.arange(target_len)[None, :, None]
+                 < out_len).astype(h.dtype)
+        h = h * valid
         for i in range(len(c.sampling_ratios)):
             h = nn.Conv(c.channels, (3,), padding="SAME", name=f"conv_{i}")(h)
-            h = nn.GroupNorm(num_groups=1, name=f"norm_{i}")(h)
+            h = MaskedGroupNorm(name=f"norm_{i}")(h, valid, out_len)
             h = h * jnp.tanh(jax.nn.softplus(h))  # Mish
+            h = h * valid
         out = nn.Dense(c.channels, name="out_proj")(h)
 
         # Stable 5-tuple return, exactly like the reference

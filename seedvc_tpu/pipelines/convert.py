@@ -428,12 +428,24 @@ class VoiceConverter:
         return jnp.concatenate(outs, axis=1)
 
     def _mel_bucketed(self, wave: np.ndarray) -> jax.Array:
-        """Mel with the waveform padded to 5 s buckets -> few compiles."""
+        """Mel with the waveform padded to 5 s buckets -> few compiles.
+
+        The bucket tail is REFLECT-continued (n_fft samples) before the
+        zero fill: the reference computes mel over the exact-length wave
+        with reflect STFT padding (``modules/audio.py:57-59``), so frames
+        near the true end read reflected audio — zero-padding there skewed
+        the last ~2 prompt-mel frames (caught by
+        tests/test_cross_impl_pipeline.py).  Frames past ``n_frames`` are
+        sliced off, so only the first n_fft pad samples matter."""
         bucket = 5 * self.sr
         n_frames = len(wave) // self.hop
         padded_len = -(-len(wave) // bucket) * bucket
         padded = np.zeros(padded_len, np.float32)
         padded[: len(wave)] = wave
+        n_fft = self.cfg.preprocess_params.spect_params.n_fft
+        r = min(padded_len - len(wave), n_fft, len(wave) - 1)
+        if r > 0:
+            padded[len(wave): len(wave) + r] = wave[-2: -2 - r: -1]
         mel = self.mel_fn(jnp.asarray(padded[None]))
         return mel[:, :n_frames]
 

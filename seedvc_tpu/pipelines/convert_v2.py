@@ -203,6 +203,12 @@ class VoiceConverterV2:
         def sample_vocode_fn(p, p_voc, key, chunk, prompt_cond, total_len,
                              prompt_mel, prompt_len, style, n_steps, r0, r1,
                              random_voice, context):
+            # (r0, r1) = (intelligibility, similarity): euler_solve_multicfg
+            # weights the unconditional branch by -r0 and the text-only
+            # branch by -r1, matching the reference's
+            # ``inference_cfg_rate=[intelligibility, similarity]``
+            # (``modules/v2/cfm.py:115-126``; pinned by the asymmetric-rate
+            # cross-impl test in tests/test_cross_impl_pipeline.py).
             """Multi-cond CFG sampling + slice + vocoder as ONE dispatch
             (same fusion as the v1 pipeline); CFM in bf16 on TPU, vocoder
             fp32.  The ``[prompt ‖ chunk]`` context is assembled on device
@@ -436,8 +442,8 @@ class VoiceConverterV2:
             wave = np.asarray(self._sample_vocode_fn(
                 self.p_dit, self.p_vocoder, sub, chunk, prompt_cond_pad,
                 jnp.array([p_len + w]), prompt_mel_cap, jnp.asarray(p_len),
-                style, diffusion_steps, float(similarity_cfg_rate),
-                float(intelligibility_cfg_rate),
+                style, diffusion_steps, float(intelligibility_cfg_rate),
+                float(similarity_cfg_rate),
                 bool(anonymization_only), context))[0].astype(np.float32)
             wave = wave[: w * cfg.hop]
             if prev_tail is None:

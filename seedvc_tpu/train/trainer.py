@@ -461,8 +461,12 @@ class Trainer:
         if cached:
             rows = [self._feat_cache[int(i)] for i in ids]
             if self.openvoice_params is not None:
-                s_ori = jnp.stack([r[0] for r in rows])
-                style = jnp.stack([r[1] for r in rows])
+                # _put: on a multi-device mesh the restacked rows get the
+                # same data sharding as the rest of the prep (ADVICE r4 —
+                # a replicated stack here would leave the OpenVoice
+                # cache-hit branch outside the SPMD prep spreading)
+                s_ori = self._put(jnp.stack([r[0] for r in rows]))
+                style = self._put(jnp.stack([r[1] for r in rows]))
                 s_alt = self._semantic(
                     self._perturb(w16b, rng, waves_sr=waves, step=step),
                     eff_16k)
