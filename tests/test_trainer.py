@@ -91,8 +91,13 @@ def test_trainer_validate_and_early_stop(wav_dir, tmp_path):
 
     val = trainer.validate(ds)
     assert np.isfinite(val)
-    # deterministic validate: same params -> same loss
-    assert trainer.validate(ds) == val
+    # deterministic validate: same params -> same loss.  The first call
+    # fills the device feature cache, the second hits it; the perturbed
+    # branch then runs through a different XLA program (B-batch alt-only vs
+    # 2B fused pair) with ~1e-7 same-math float noise — the precise cache
+    # contract is pinned in tests/test_feat_cache.py, and early stopping
+    # compares at 1e-4, so equality here is to float noise, not bitwise.
+    assert abs(trainer.validate(ds) - val) < 1e-5
 
     # force permanent plateau so the early-stop path fires quickly
     trainer.best_val_loss = -1e9
