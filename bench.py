@@ -380,14 +380,20 @@ def bench_train_v2() -> dict:
 # cache; the budget gate skips legs that no longer fit instead of letting
 # the driver kill the whole record (VERDICT r4 weak #1).
 LEGS = [
-    ("e2e", 300, 420, bench_e2e),
-    ("streaming", 280, 420, bench_streaming),
-    ("v2", 420, 620, bench_v2),
-    ("ar_decode", 260, 380, bench_ar),
-    ("train_onfly", 340, 480, bench_train),
-    ("train_v2", 320, 460, bench_train_v2),
-    ("streaming2", 230, 330, bench_streaming2),
+    ("e2e", 280, 420, bench_e2e),
+    ("streaming", 170, 300, bench_streaming),
+    ("v2", 300, 500, bench_v2),
+    ("ar_decode", 280, 420, bench_ar),
+    ("train_onfly", 300, 450, bench_train),
+    ("train_v2", 240, 400, bench_train_v2),
+    ("streaming2", 150, 280, bench_streaming2),
 ]
+# Calibration (this round, solo pool, warm compile cache; rc=0 total 906 s):
+# e2e 175 s / streaming 43 / v2 134 / ar_decode 216 / train_onfly 180 /
+# train_v2 102 / streaming2 55.  Each child pays ~60 s axon backend init
+# (reported as the first probe's compile_s).  expected_s above ~= measured
+# x1.5 congestion margin; the 1680 s budget skips tail legs gracefully in a
+# congested pool instead of letting the driver kill the record.
 
 
 def _run_child(key: str, budget_s: int) -> dict:
