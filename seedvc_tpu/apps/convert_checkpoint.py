@@ -41,6 +41,10 @@ def main(argv=None):
     ap.add_argument("--hift", help="hift.pt (CosyVoice)")
     ap.add_argument("--astral-narrow", help="ASTRAL bsq32 checkpoint (v2)")
     ap.add_argument("--astral-wide", help="ASTRAL bsq2048 checkpoint (v2)")
+    ap.add_argument("--v2-cfm", help="v2 CFM checkpoint (cfm_small.pth: "
+                                     "{'net': {'cfm', 'length_regulator'}})")
+    ap.add_argument("--v2-ar", help="v2 AR checkpoint (ar_base.pth: "
+                                    "{'net': {'ar', 'length_regulator'}})")
     ap.add_argument("--hubert", help="HF hubert-large dir (v2 SSL)")
     ap.add_argument("--openvoice", help="OpenVoiceV2 converter checkpoint.pth")
     ap.add_argument("--wavlm-sv", help="microsoft/wavlm-base-plus-sv dir or "
@@ -124,6 +128,41 @@ def main(argv=None):
 
             sd = torch.load(path, map_location="cpu", weights_only=False)
             _save(args.out, name, convert_astral(sd))
+
+    if args.v2_cfm:
+        # v2 CFM checkpoint -> dit.pkl + cfm_reg.pkl (VoiceConverterV2
+        # PARAM_NAMES); structure per modules/v2/vc_wrapper.py:259-268
+        from seedvc_tpu.convert.dit_v2 import (convert_dit_v2,
+                                               convert_regulator_v2)
+        from seedvc_tpu.core.config import LengthRegulatorConfig
+        from seedvc_tpu.pipelines.convert_v2 import V2Config
+
+        vcfg = V2Config()
+        ckpt = torch.load(args.v2_cfm, map_location="cpu", weights_only=False)
+        net = ckpt.get("net", ckpt)
+        _save(args.out, "dit", convert_dit_v2(net["cfm"], vcfg.dit))
+        _save(args.out, "cfm_reg", convert_regulator_v2(
+            net["length_regulator"],
+            LengthRegulatorConfig(channels=vcfg.dit.content_dim,
+                                  is_discrete=True,
+                                  content_codebook_size=vcfg.wide.codebook_size,
+                                  sampling_ratios=(1, 1, 1, 1))))
+
+    if args.v2_ar:
+        from seedvc_tpu.convert.ar import convert_ar
+        from seedvc_tpu.convert.dit_v2 import convert_regulator_v2
+        from seedvc_tpu.core.config import LengthRegulatorConfig
+        from seedvc_tpu.pipelines.convert_v2 import V2Config
+
+        vcfg = V2Config()
+        ckpt = torch.load(args.v2_ar, map_location="cpu", weights_only=False)
+        net = ckpt.get("net", ckpt)
+        _save(args.out, "ar", convert_ar(net["ar"], vcfg.ar.n_layer))
+        _save(args.out, "ar_reg", convert_regulator_v2(
+            net["length_regulator"],
+            LengthRegulatorConfig(channels=vcfg.ar.dim, is_discrete=True,
+                                  content_codebook_size=vcfg.narrow.codebook_size,
+                                  sampling_ratios=())))
 
     if args.hubert:
         from seedvc_tpu.convert.ssl import convert_ssl

@@ -101,3 +101,67 @@ def test_regulator_v2_conversion_parity(ratios, identity_out):
                        jnp.array([ylen]), ylen)[0]
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5,
                                rtol=1e-3)
+
+@pytest.mark.slow
+def test_convert_checkpoint_cli_v2(tmp_path):
+    """``apps/convert_checkpoint --v2-cfm/--v2-ar`` converts checkpoints with
+    the reference's on-disk structure ({'net': {'cfm'|'ar',
+    'length_regulator'}}, ``modules/v2/vc_wrapper.py:259-290``) into the
+    pkl names VoiceConverterV2 loads (dit/cfm_reg/ar/ar_reg)."""
+    import pickle
+
+    import torch
+
+    from conftest import import_reference
+
+    from seedvc_tpu.pipelines.convert_v2 import V2Config
+
+    vcfg = V2Config()
+    ref_dit_mod = import_reference("modules.v2.dit_wrapper")
+    ref_cfm_mod = import_reference("modules.v2.cfm")
+    ref_lr_mod = import_reference("modules.v2.length_regulator")
+    ref_ar_mod = import_reference("modules.v2.ar")
+
+    torch.manual_seed(0)
+    t_dit = ref_dit_mod.DiT(
+        time_as_token=vcfg.dit.time_as_token,
+        style_as_token=vcfg.dit.style_as_token, uvit_skip_connection=False,
+        block_size=256, depth=vcfg.dit.depth, num_heads=vcfg.dit.num_heads,
+        hidden_dim=vcfg.dit.hidden_dim, in_channels=vcfg.dit.in_channels,
+        content_dim=vcfg.dit.content_dim,
+        style_encoder_dim=vcfg.dit.style_encoder_dim,
+        class_dropout_prob=0.1, dropout_rate=0.0, attn_dropout_rate=0.0)
+    t_cfm = ref_cfm_mod.CFM(t_dit)
+    t_cfm_reg = ref_lr_mod.InterpolateRegulator(
+        channels=vcfg.dit.content_dim, sampling_ratios=(1, 1, 1, 1),
+        is_discrete=True, codebook_size=vcfg.wide.codebook_size)
+    torch.save({"net": {"cfm": t_cfm.state_dict(),
+                        "length_regulator": t_cfm_reg.state_dict()}},
+               tmp_path / "cfm_small.pth")
+
+    t_ar = ref_ar_mod.NaiveWrapper(ref_ar_mod.NaiveTransformer(
+        ref_ar_mod.NaiveModelArgs(
+            n_layer=vcfg.ar.n_layer, n_head=vcfg.ar.n_head,
+            dim=vcfg.ar.dim, head_dim=vcfg.ar.head_dim,
+            n_local_heads=vcfg.ar.n_local_heads,
+            intermediate_size=vcfg.ar.intermediate_size,
+            vocab_size=vcfg.ar.vocab_size)))
+    t_ar_reg = ref_lr_mod.InterpolateRegulator(
+        channels=vcfg.ar.dim, sampling_ratios=(),
+        is_discrete=True, codebook_size=vcfg.narrow.codebook_size)
+    torch.save({"net": {"ar": t_ar.state_dict(),
+                        "length_regulator": t_ar_reg.state_dict()}},
+               tmp_path / "ar_base.pth")
+
+    from seedvc_tpu.apps.convert_checkpoint import main
+
+    out = tmp_path / "out"
+    main(["--out", str(out),
+          "--v2-cfm", str(tmp_path / "cfm_small.pth"),
+          "--v2-ar", str(tmp_path / "ar_base.pth")])
+
+    for name, key in (("dit", "cond_projection"), ("cfm_reg", "embedding"),
+                      ("ar", "layers_0"), ("ar_reg", "out_proj")):
+        with open(out / f"{name}.pkl", "rb") as f:
+            tree = pickle.load(f)
+        assert key in tree, f"{name}.pkl missing {key}"
