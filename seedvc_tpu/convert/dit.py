@@ -162,8 +162,6 @@ def convert_regulator(sd: dict, mp: ModelParams) -> dict:
     p["out_proj"] = _conv1x1_as_dense(sd, f"model.{3*n}")
     if lr.f0_condition:
         p["f0_embedding"] = {"embedding": _np(sd["f0_embedding.weight"])}
-        p["f0_mask"] = _np(sd["f0_mask"])[0] if _np(sd["f0_mask"]).ndim > 1 \
-            else _np(sd["f0_mask"])
         p["f0_mask"] = _np(sd["f0_mask"]).reshape(1, -1)
     return p
 

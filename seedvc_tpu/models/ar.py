@@ -13,8 +13,9 @@ ONE compiled ``lax.while_loop`` with:
 
 - explicit KV cache arrays (functional update via dynamic_update_slice),
 - top-p + repetition-penalty + temperature sampling (``ar.py:730-763``)
-  using a per-vocab presence buffer for the penalty and the exponential-race
-  trick for multinomial sampling (``ar.py:723-727``),
+  with the exponential-race trick for multinomial sampling
+  (``ar.py:723-727``); the penalty scope matches the reference's RUNTIME
+  behaviour (first generated token only — see ``make_generate_fn``),
 - EOS suppressed for the first 10 tokens (``vc_wrapper`` behaviour,
   ``ar.py:405``), loop exits on EOS or max_new_tokens.
 """
@@ -219,14 +220,17 @@ class ARTransformer(nn.Module):
         return logits, jnp.stack(new_k), jnp.stack(new_v)
 
 
-def sample_token(key, logits, presence, *, temperature=0.7, top_p=0.7,
+def sample_token(key, logits, penal_mask, *, temperature=0.7, top_p=0.7,
                  repetition_penalty=1.5, suppress_eos=False, eos=2048):
     """Reference ``logits_to_probs`` + exponential-race multinomial
-    (``ar.py:723-763``).  logits: (vocab,); presence: (vocab,) bool."""
+    (``ar.py:723-763``).  logits: (vocab,); penal_mask: (vocab,) bool —
+    which vocab entries receive the repetition penalty.  temperature/
+    top_p/repetition_penalty may be traced scalars (no recompile per
+    setting)."""
     logits = logits.astype(jnp.float32)  # fp32 sampling under bf16 decode
     penal = jnp.where(logits < 0, logits * repetition_penalty,
                       logits / repetition_penalty)
-    logits = jnp.where(presence, penal, logits)
+    logits = jnp.where(penal_mask, penal, logits)
     logits = jnp.where(
         (jnp.arange(logits.shape[0]) == eos) & suppress_eos,
         -jnp.inf, logits)
@@ -262,9 +266,28 @@ class DecodeState(NamedTuple):
 
 def make_generate_fn(model: ARTransformer, max_new_tokens: int = 1024,
                      temperature: float = 0.7, top_p: float = 0.7,
-                     repetition_penalty: float = 1.5):
+                     repetition_penalty: float = 1.5,
+                     penalty_scope: str = "first"):
     """Build a jittable generate(params, cond_emb, cond_lens, prompt_tokens,
-    prompt_lens, key) -> (tokens (B, max_new), n_tokens (B,)).
+    prompt_lens, key[, temperature, top_p, repetition_penalty])
+    -> (tokens (B, max_new), n_tokens (B,)).
+
+    The sampling knobs are TRACED arguments of the returned fn (one compile
+    covers every setting); the make-time values are just call defaults.
+
+    penalty_scope selects what the repetition penalty applies to:
+
+    - ``"first"`` (default): ONLY the first token generated in this call —
+      the reference's actual runtime behaviour: ``generate`` passes the
+      1-D ``torch.cat(pred_codes)`` and ``decode_one_token_ar`` indexes
+      ``previous_tokens[0]`` (``ar.py:737``, ``:434-436``), a scalar, so
+      ``logits_to_probs`` gathers/scatters exactly one vocab entry
+      (``ar.py:744-751``).  Cross-impl-pinned by
+      ``tests/test_cross_impl_ar.py``.
+    - ``"all"``: every token emitted so far (a presence set) — the
+      fish-speech-style semantics the reference code APPEARS to intend
+      (the ``[0]`` selects codebook 0 of a multi-codebook layout that is
+      1-D here).  Kept as an opt-in knob.
 
     cond_emb: (B, C_max, D) narrow-token embeddings (regulated), padded;
     prompt_tokens: (B, P_max) target-prefix wide tokens, padded;
@@ -281,9 +304,12 @@ def make_generate_fn(model: ARTransformer, max_new_tokens: int = 1024,
     1500-token chunks of one utterance through this (``convert_v2.py``).
     """
     cfg = model.cfg
+    if penalty_scope not in ("first", "all"):
+        raise ValueError(f"penalty_scope {penalty_scope!r}")
 
     def generate(params, cond_emb, cond_lens, prompt_tokens, prompt_lens,
-                 key):
+                 key, temperature=temperature, top_p=top_p,
+                 repetition_penalty=repetition_penalty):
         B, C_max, D = cond_emb.shape
         P_max = prompt_tokens.shape[1]
         S_max = cfg.max_seq_len
@@ -348,14 +374,14 @@ def make_generate_fn(model: ARTransformer, max_new_tokens: int = 1024,
         presence0 = jnp.zeros((B, cfg.vocab_size), bool)
         tokens0 = jnp.zeros((B, max_new_tokens), jnp.int32)
 
-        def sample_batch(key, logits, presence, suppress_eos):
+        def sample_batch(key, logits, penal_mask, suppress_eos):
             subs = jax.random.split(key, B)
             return jax.vmap(
-                lambda k, lg, pr: sample_token(
-                    k, lg, pr, temperature=temperature, top_p=top_p,
+                lambda k, lg, pm: sample_token(
+                    k, lg, pm, temperature=temperature, top_p=top_p,
                     repetition_penalty=repetition_penalty,
                     suppress_eos=suppress_eos, eos=cfg.eos)
-            )(subs, logits, presence)
+            )(subs, logits, penal_mask)
 
         key, sub = jax.random.split(key)
         first_tok = sample_batch(sub, logits, presence0,
@@ -382,7 +408,14 @@ def make_generate_fn(model: ARTransformer, max_new_tokens: int = 1024,
                 emb1, s.input_pos, s.kv_pos, s.k_caches, s.v_caches,
                 min_key=min_key, method=model.decode_step)
             key, sub = jax.random.split(s.key)
-            tok = sample_batch(sub, logits, s.presence,
+            if penalty_scope == "first":
+                # reference runtime semantics: penalize pred_codes[0] only
+                # (ar.py:434-436 previous_tokens[0] is a scalar)
+                penal_mask = jax.nn.one_hot(
+                    s.tokens[:, 0], cfg.vocab_size, dtype=bool)
+            else:
+                penal_mask = s.presence
+            tok = sample_batch(sub, logits, penal_mask,
                                suppress_eos=s.step < 10)
             is_eos = tok == cfg.eos
             active = ~s.done

@@ -521,10 +521,18 @@ class VoiceConverter:
         voiced_alt = f0_alt > 1
         voiced_ori = f0_ori > 1
         shifted = f0_alt.copy()
+
+        def median_low(x):
+            # torch.median convention (lower of the two middle values for
+            # even counts) — np.median averages them, which shifts every
+            # voiced frame by up to half the middle gap; pinned by
+            # tests/test_cross_impl_pipeline.py::test_full_pipeline_f0_svc…
+            return np.sort(x)[(len(x) - 1) // 2]
+
         if auto_f0_adjust and voiced_alt.any() and voiced_ori.any():
             log_alt = np.log(f0_alt + 1e-5)
-            med_ori = np.median(np.log(f0_ori[voiced_ori] + 1e-5))
-            med_alt = np.median(np.log(f0_alt[voiced_alt] + 1e-5))
+            med_ori = median_low(np.log(f0_ori[voiced_ori] + 1e-5))
+            med_alt = median_low(np.log(f0_alt[voiced_alt] + 1e-5))
             shifted_log = log_alt.copy()
             shifted_log[voiced_alt] = log_alt[voiced_alt] - med_alt + med_ori
             shifted = np.exp(shifted_log)

@@ -8,9 +8,11 @@ Re-design of the reference ``modules/v2/vc_wrapper.py`` composition root:
 - ``convert_timbre``: wide tokens -> cfm regulator -> multi-cond CFG CFM ->
   vocoder (``vc_wrapper.py:364-419``),
 - ``convert_voice``: duration-reduced narrow tokens through the AR
-  (chunks of <= 1500 tokens with the target prefix re-prepended,
-  ``vc_wrapper.py:628-649``) -> predicted wide tokens -> CFM
-  (``vc_wrapper.py:421-491``),
+  (chunks sized so prefix+chunk <= 1500 tokens with the target prefix
+  re-prepended, ``vc_wrapper.py:628-649``) -> predicted wide tokens -> CFM
+  (``vc_wrapper.py:421-491``); the output mel length follows the AR's
+  token-expansion ratio (``vc_wrapper.py:650-651``) so accent conversion
+  can stretch/shrink durations,
 - anonymisation via ``random_voice`` CFG mode; intelligibility/similarity
   CFG rates (``convert_voice_with_streaming`` semantics).
 
@@ -366,36 +368,50 @@ class VoiceConverterV2:
 
         if convert_style or anonymization_only:
             # AR path: duration-reduced narrow tokens -> wide tokens.  The
-            # <=1500-token chunks of one utterance are independent given the
-            # shared target prefix (reference loops them one by one,
+            # chunks of one utterance are independent given the shared
+            # target prefix (reference loops them one by one,
             # vc_wrapper.py:628-649) — here ALL chunks decode as ONE batched
             # generate call (models/ar.py left-padded batched decode), so a
             # long utterance costs ~one chunk's wall time.
             tgt_red, _ = duration_reduction(np.asarray(tgt_n)[0])
             src_red, _ = duration_reduction(np.asarray(src_n)[0])
-            chunks = [src_red[s: s + AR_MAX_CONTENT_LEN]
-                      for s in range(0, max(len(src_red), 1),
-                                     AR_MAX_CONTENT_LEN)]
+            if anonymization_only:
+                # reference drops the target context entirely: AR cond is
+                # the bare chunk and the wide-token prompt is EMPTY
+                # (vc_wrapper.py:639-643 `torch.zeros([1, 0])`)
+                prefix = src_red[:0]
+                prompt_w = src_w[:, :0]
+            else:
+                prefix = tgt_red
+                prompt_w = tgt_w
+            # chunk size leaves room for the prefix so each AR cond row is
+            # <= ar_max_content_len narrow tokens (vc_wrapper.py:629)
+            max_chunk = max(AR_MAX_CONTENT_LEN - len(prefix), 1)
+            chunks = [src_red[s: s + max_chunk]
+                      for s in range(0, max(len(src_red), 1), max_chunk)]
             B = len(chunks)
-            cond_lens = np.array([len(tgt_red) + len(c) for c in chunks],
+            cond_lens = np.array([len(prefix) + len(c) for c in chunks],
                                  np.int32)
             C_max = int(-(-cond_lens.max() // 256) * 256)
             ar_src = np.zeros((B, C_max), np.int64)
             for b, c in enumerate(chunks):
-                ar_src[b, : len(tgt_red)] = tgt_red
-                ar_src[b, len(tgt_red): len(tgt_red) + len(c)] = c
+                ar_src[b, : len(prefix)] = prefix
+                ar_src[b, len(prefix): len(prefix) + len(c)] = c
             # identity regulation per row: x_lens == out_len == max row len
             cond_emb = self._ar_reg_fn(
                 self.p_ar_reg, jnp.asarray(ar_src), jnp.asarray(cond_lens),
                 C_max, jnp.asarray(int(cond_lens.max())))
-            P_max = -(-max(tgt_w.shape[1], 8) // 64) * 64
+            P_max = -(-max(prompt_w.shape[1], 8) // 64) * 64
             prompt_tok = np.zeros((B, P_max), np.int64)
-            prompt_tok[:, : tgt_w.shape[1]] = tgt_w
+            prompt_tok[:, : prompt_w.shape[1]] = prompt_w
+            # sampling knobs are TRACED args (models/ar.py): every
+            # temperature/top_p/penalty setting shares one compiled program
             tokens, n_tok = self._generate(
                 {"params": self.p_ar}, cond_emb, jnp.asarray(cond_lens),
                 jnp.asarray(prompt_tok),
-                jnp.asarray(np.full(B, tgt_w.shape[1], np.int32)),
-                jax.random.PRNGKey(seed))
+                jnp.asarray(np.full(B, prompt_w.shape[1], np.int32)),
+                jax.random.PRNGKey(seed), jnp.float32(temperature),
+                jnp.float32(top_p), jnp.float32(repetition_penalty))
             tokens, n_tok = np.asarray(tokens), np.asarray(n_tok)
             wide_tokens = np.concatenate(
                 [tokens[b, : int(n_tok[b])] for b in range(B)])[None]
@@ -405,7 +421,18 @@ class VoiceConverterV2:
             ar_batch = 0
 
         src_mel_len = len(src) // cfg.hop
-        target_len = int(src_mel_len * length_adjust)
+        if ar_batch:
+            # The output DURATION follows the AR: the reference sizes each
+            # chunk's mel as src_mel_len * (chunk_ar_tokens / src_wide
+            # _tokens) * length_adjust (vc_wrapper.py:650-651), so accent
+            # conversion may stretch/shrink the utterance.  We regulate the
+            # merged stream once with the same global ratio (differs from
+            # the reference's per-chunk int() rounding by < ar_batch
+            # frames).
+            target_len = max(int(src_mel_len / max(src_w.shape[1], 1)
+                                 * wide_tokens.shape[1] * length_adjust), 1)
+        else:
+            target_len = int(src_mel_len * length_adjust)
         cond = self._regulate_tokens(self._cfm_reg_fn, self.p_cfm_reg,
                                      wide_tokens, target_len)
 
