@@ -561,7 +561,7 @@ V2_CODEBOOK = 32
 INTEL_RATE, SIM_RATE = 0.4, 0.8
 
 
-def _build_both_v2():
+def _build_both_v2(with_ar: bool = False):
     import torch
 
     from conftest import import_reference
@@ -579,6 +579,7 @@ def _build_both_v2():
     ref_lr_mod = import_reference("modules.v2.length_regulator")
     ref_cp = import_reference("modules.campplus.DTDNN")
     ref_bv = import_reference("modules.bigvgan.bigvgan")
+    ref_ar_mod = import_reference("modules.v2.ar")
     from modules.bigvgan.env import AttrDict
 
     dit_cfg = DiTV2Config(hidden_dim=32, depth=2, num_heads=4,
@@ -611,7 +612,7 @@ def _build_both_v2():
     vcfg = V2Config(
         dit=dit_cfg,
         ar=ARConfig(dim=32, n_layer=1, n_head=4, n_local_heads=2, head_dim=8,
-                    intermediate_size=64, vocab_size=33, max_seq_len=256),
+                    intermediate_size=64, vocab_size=33, max_seq_len=512),
         ssl=SSLConfig(conv_dim=16, d_model=32, n_layers=1, n_heads=4,
                       ffn_dim=64),
         narrow=AstralConfig(dim=24, intermediate_dim=48, num_blocks=1,
@@ -619,7 +620,7 @@ def _build_both_v2():
         wide=AstralConfig(dim=24, intermediate_dim=48, num_blocks=1,
                           input_dim=32, codebook_size=V2_CODEBOOK),
         prompt_cap_frames=PROMPT_CAP, context_frames=CONTEXT)
-    v2 = VoiceConverterV2(vcfg, params={
+    params = {
         "dit": convert_dit_v2(t_dit.state_dict(), dit_cfg),
         "cfm_reg": convert_regulator_v2(
             t_reg.state_dict(),
@@ -628,7 +629,31 @@ def _build_both_v2():
                                   sampling_ratios=(1, 1, 1, 1))),
         "campplus": convert_campplus(t_camp.state_dict()),
         "vocoder": convert_bigvgan(t_voc.state_dict(), VOC_CFG),
-    })
+    }
+
+    t_ar = t_ar_reg = None
+    if with_ar:
+        from seedvc_tpu.convert.ar import convert_ar
+
+        t_ar_cfg = ref_ar_mod.NaiveModelArgs(
+            dim=32, n_layer=1, n_head=4, n_local_heads=2,
+            intermediate_size=64, vocab_size=33, max_seq_len=512)
+        t_ar = ref_ar_mod.NaiveWrapper(
+            ref_ar_mod.NaiveTransformer(t_ar_cfg)).eval()
+        t_ar.setup_caches(1, 512, dtype=torch.float32, device="cpu")
+        # ar_length_regulator: narrow-codebook embedding + 1x1 conv,
+        # sampling_ratios [] (vc_wrapper.yaml:54-60)
+        t_ar_reg = ref_lr_mod.InterpolateRegulator(
+            channels=32, sampling_ratios=(), is_discrete=True,
+            codebook_size=8).eval()
+        params["ar"] = convert_ar(t_ar.state_dict(), n_layers=1)
+        params["ar_reg"] = convert_regulator_v2(
+            t_ar_reg.state_dict(),
+            LengthRegulatorConfig(channels=32, is_discrete=True,
+                                  content_codebook_size=8,
+                                  sampling_ratios=()))
+
+    v2 = VoiceConverterV2(vcfg, params=params)
     # the repo vocoder must be the tiny config too (V2Config defaults to the
     # full 22k BigVGAN): rebuild with the converted params + tiny cfg
     from seedvc_tpu.models.bigvgan import BigVGAN
@@ -636,7 +661,8 @@ def _build_both_v2():
     v2.vocoder = BigVGAN(VOC_CFG)
     from types import SimpleNamespace as NS
 
-    ref = NS(cfm=t_cfm, reg=t_reg, camp=t_camp, voc=t_voc)
+    ref = NS(cfm=t_cfm, reg=t_reg, camp=t_camp, voc=t_voc,
+             ar=t_ar, ar_reg=t_ar_reg, ar_mod=ref_ar_mod)
     return ref, v2
 
 
@@ -768,3 +794,170 @@ def test_v2_timbre_only_matches_reference(monkeypatch):
         f"v2 timbre waveform length {our_wave.shape} != {ref_wave.shape}")
     snr = _snr_db(ref_wave, our_wave)
     assert snr > 30.0, f"v2 timbre cross-impl SNR {snr:.1f} dB"
+
+
+@pytest.mark.slow
+def test_v2_convert_voice_ar_matches_reference(monkeypatch):
+    """FULL v2 accent conversion (``convert_style=True``): injected narrow
+    tokens -> duration reduction (``vc_wrapper.py:139-153``) -> AR cond
+    assembly ``[tgt_reduced ‖ chunk]`` through the ar_length_regulator ->
+    GREEDY AR decode with the target wide-token prompt -> the AR-ratio
+    ylens formula (``vc_wrapper.py:650-651``) -> cfm regulate -> 3-way CFG
+    CFM -> vocoder, against the reference's own chunk loop
+    (``vc_wrapper.py:628-680``) re-driven from its modules.  Pins the whole
+    AR->CFM glue: identical token streams, identical output length (the
+    duration follows the AR), waveform agreement."""
+    import itertools
+
+    import torch
+
+    from test_cross_impl_ar import _greedy_patches
+
+    ref, v2 = _build_both_v2(with_ar=True)
+    _greedy_patches(monkeypatch)
+    sr, hop = v2.cfg.sr, v2.cfg.hop
+    MAX_NEW = 48
+    NARROW_CB = 8
+
+    # cap the repo decode identically to the reference's bounded loop
+    from seedvc_tpu.models.ar import make_generate_fn
+
+    v2._generate = jax.jit(make_generate_fn(v2.ar, max_new_tokens=MAX_NEW))
+    monkeypatch.setattr(ref.ar_mod, "tqdm",
+                        lambda it: itertools.islice(it, MAX_NEW - 1))
+
+    rng = np.random.default_rng(13)
+    t = np.arange(150 * hop) / sr
+    src = (0.3 * np.sin(2 * np.pi * 170 * t)
+           + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    t2 = np.arange(PROMPT_CAP * hop) / sr
+    tgt = (0.3 * np.sin(2 * np.pi * 240 * t2)
+           + 0.05 * rng.standard_normal(len(t2))).astype(np.float32)
+
+    from seedvc_tpu.dsp.resample import resample
+
+    src16 = np.asarray(resample(jnp.asarray(src), sr, 16000))
+    tgt16 = np.asarray(resample(jnp.asarray(tgt), sr, 16000))
+    tgt16 = tgt16[: int(len(tgt) / sr * 16000)]
+
+    def runs(n, seed):
+        # narrow tokens with 1-4x repeats so duration reduction REDUCES
+        r = np.random.default_rng(seed)
+        out = []
+        while len(out) < n:
+            out.extend([int(r.integers(0, NARROW_CB))]
+                       * int(r.integers(1, 5)))
+        return np.asarray(out[:n])[None]
+
+    tok_src_n, tok_tgt_n = runs(len(src16) // 320, 31), runs(
+        len(tgt16) // 320, 32)
+    tok_src_w = rng.integers(0, V2_CODEBOOK, (1, len(src16) // 320))
+    tok_tgt_w = rng.integers(0, V2_CODEBOOK, (1, len(tgt16) // 320))
+
+    def fake_content_tokens(wave16):
+        if len(wave16) == len(src16):
+            return tok_src_n.copy(), tok_src_w.copy()
+        return tok_tgt_n.copy(), tok_tgt_w.copy()
+
+    monkeypatch.setattr(v2, "content_tokens", fake_content_tokens)
+
+    noise = _noise_buffer(CONTEXT)
+
+    # ---- reference side: vc_wrapper.py:626-680 from its modules ----
+    from seedvc_tpu.dsp.fbank import kaldi_fbank
+
+    from conftest import import_reference
+
+    ref_audio_mod = import_reference("modules.audio")
+
+    with torch.no_grad():
+        mel2 = ref_audio_mod.mel_spectrogram(
+            torch.from_numpy(tgt)[None], 1024, N_MELS, sr, hop, 1024, 0,
+            None)
+        target_mel_len = mel2.size(2)
+        src_mel_len = ref_audio_mod.mel_spectrogram(
+            torch.from_numpy(src)[None], 1024, N_MELS, sr, hop, 1024, 0,
+            None).size(2)
+
+        feat2 = torch.from_numpy(np.asarray(
+            kaldi_fbank(jnp.asarray(tgt16[None]))))[0]
+        feat2 = feat2 - feat2.mean(dim=0, keepdim=True)
+        style2 = ref.camp(feat2.unsqueeze(0))
+
+        prompt_condition, _ = ref.reg(
+            torch.from_numpy(tok_tgt_w),
+            ylens=torch.LongTensor([target_mel_len]))
+
+        def dr(token_seq, n_gram=1):
+            # vc_wrapper.py:139-153 VERBATIM (the module itself imports
+            # torchaudio, absent here, so the 6-line static method is
+            # inlined)
+            n_gram_seq = token_seq.unfold(0, n_gram, 1)
+            mask = torch.all(n_gram_seq[1:] != n_gram_seq[:-1], dim=1)
+            reduced = torch.cat((n_gram_seq[0, :n_gram],
+                                 n_gram_seq[1:, -1][mask]))
+            return reduced, len(reduced)
+
+        src_red, _ = dr(torch.from_numpy(tok_src_n[0]), 1)
+        tgt_red, tgt_red_len = dr(torch.from_numpy(tok_tgt_n[0]), 1)
+        max_chunk = 1500 - int(tgt_red_len)
+        assert len(src_red) <= max_chunk  # single-chunk test by design
+
+        chunk_ar_cond = ref.ar_reg(
+            torch.cat([tgt_red, src_red], dim=0)[None])[0]
+        chunk_ar_out = ref.ar.generate(
+            chunk_ar_cond, torch.from_numpy(tok_tgt_w),
+            temperature=0.7, top_p=0.7, repetition_penalty=1.5)
+        n_ar_ref = chunk_ar_out.size(-1)
+
+        ylens = int(src_mel_len / tok_src_w.shape[1] * n_ar_ref * 1.0)
+        chunk_cond, _ = ref.reg(chunk_ar_out,
+                                ylens=torch.LongTensor([ylens]))
+        cat_condition = torch.cat([prompt_condition, chunk_cond], dim=1)
+        original_len = cat_condition.size(1)
+
+        real_randn = torch.randn
+
+        def fake_randn(shape, device=None, **kw):
+            assert list(shape)[1] == N_MELS
+            return torch.from_numpy(
+                noise[: shape[2]].T.copy())[None].to(dtype=torch.float32)
+
+        monkeypatch.setattr(torch, "randn", fake_randn)
+        try:
+            vc_mel = ref.cfm.inference(
+                cat_condition, torch.LongTensor([original_len]),
+                mel2, style2, STEPS,
+                inference_cfg_rate=[INTEL_RATE, SIM_RATE])
+        finally:
+            monkeypatch.setattr(torch, "randn", real_randn)
+        vc_mel = vc_mel[:, :, target_mel_len:original_len]
+        ref_wave = ref.voc(vc_mel.float()).squeeze().numpy()
+
+    # ---- repo side ----
+    real_normal = jax.random.normal
+
+    def fake_normal(key, shape=None, dtype=jnp.float32, *a, **kw):
+        if shape is not None and len(shape) == 3 and shape[-1] == N_MELS:
+            return jnp.asarray(noise[: shape[1]][None]).astype(dtype)
+        return real_normal(key, shape, dtype, *a, **kw)
+
+    monkeypatch.setattr(jax.random, "normal", fake_normal)
+    try:
+        _, our_wave, stats = v2.convert_voice(
+            src, sr, tgt, sr, diffusion_steps=STEPS, convert_style=True,
+            intelligibility_cfg_rate=INTEL_RATE,
+            similarity_cfg_rate=SIM_RATE, seed=0)
+    finally:
+        monkeypatch.setattr(jax.random, "normal", real_normal)
+
+    # identical greedy wide-token streams => identical AR-ratio duration
+    assert stats["wide_tokens"] == n_ar_ref, (
+        f"wide token count {stats['wide_tokens']} != reference {n_ar_ref}")
+    assert our_wave.shape == ref_wave.shape, (
+        f"AR-driven output length {our_wave.shape} != {ref_wave.shape}")
+    # repo vocodes the padded W-frame buffer and trims; exclude the
+    # receptive-field tail (same caveat as the v1 partial-chunk test)
+    tail = 24 * hop
+    snr = _snr_db(ref_wave[:-tail], our_wave[:-tail])
+    assert snr > 30.0, f"v2 convert_voice cross-impl SNR {snr:.1f} dB"
