@@ -191,6 +191,37 @@ def test_ar_generate_batched_matches_single():
         np.testing.assert_array_equal(bt[b, : bn[b]], st[0, : sn[0]])
 
 
+@pytest.mark.slow
+def test_ar_sampling_knobs_are_traced_and_live():
+    """The sampling knobs are TRACED args of the compiled decode: different
+    temperature/top_p/penalty settings must (a) actually change the decode
+    (they were silently ignored before — the jitted generate baked its
+    build-time defaults) and (b) share ONE compiled program."""
+    cfg = ARConfig(dim=64, n_layer=2, n_head=4, n_local_heads=2, head_dim=16,
+                   intermediate_size=128, vocab_size=33, max_seq_len=128)
+    model = ARTransformer(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32),
+                           jnp.arange(4)[None],
+                           jnp.tril(jnp.ones((4, 4), bool))[None, None],
+                           method=model.init_all)
+
+    gen = jax.jit(make_generate_fn(model, max_new_tokens=12))
+    cond = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 64))
+    args = (variables, cond, jnp.asarray(8), jnp.array([[1, 2, 3, 0]]),
+            jnp.asarray(3), jax.random.PRNGKey(2))
+    t_cold, _ = gen(*args, jnp.float32(1e-4), jnp.float32(0.7),
+                    jnp.float32(1.5))
+    t_hot, _ = gen(*args, jnp.float32(8.0), jnp.float32(1.0),
+                   jnp.float32(1.5))
+    assert gen._cache_size() == 1, "knob change recompiled the decode"
+    assert not np.array_equal(np.asarray(t_cold), np.asarray(t_hot)), (
+        "temperature/top_p had no effect on the decode")
+    # near-zero temperature == argmax: same key, same result (deterministic)
+    t_cold2, _ = gen(*args, jnp.float32(1e-4), jnp.float32(0.7),
+                     jnp.float32(1.5))
+    np.testing.assert_array_equal(np.asarray(t_cold), np.asarray(t_cold2))
+
+
 def test_bsq_commitment_loss_and_grouped_residual():
     """BSQ commitment loss (reference bsq.py:448-457, weight bsq.py:487) and
     GroupedResidualBSQ (bsq.py:497-569): grouped splitting, stacked indices,
