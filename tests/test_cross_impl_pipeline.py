@@ -961,3 +961,137 @@ def test_v2_convert_voice_ar_matches_reference(monkeypatch):
     tail = 24 * hop
     snr = _snr_db(ref_wave[:-tail], our_wave[:-tail])
     assert snr > 30.0, f"v2 convert_voice cross-impl SNR {snr:.1f} dB"
+
+
+# ----------------------------------------------------------------------
+# Realtime streaming block path vs the reference's ``custom_infer``
+# (``real-time-gui.py:44-152``): the LAST cross-impl residual.  The repo's
+# fused one-dispatch block program (``pipelines/streaming.py``) must
+# reproduce the reference's conditioning geometry exactly: CE/DiT context
+# difference dropped as 50 Hz frames (``:117-118``), regulate to the
+# DiT-window mel length (``:119-122``), [cached prompt ‖ cond] CFM with the
+# reference mel prompt (``:123-146``), vocode, and emit
+# ``wave[-ret-tail : -tail]`` (``:147-152``).  SOLA/VAD/fades are host-side
+# post-steps tested separately (tests/test_streaming.py) — this drives the
+# device program directly.
+
+@pytest.mark.slow
+def test_streaming_block_matches_reference_custom_infer(monkeypatch):
+    import torch
+
+    ref, vc = _build_both()
+    from seedvc_tpu.pipelines.streaming import (StreamConfig,
+                                                StreamingConverter)
+
+    scfg = StreamConfig(block_time=0.3, crossfade_time=0.046,
+                        sola_search_time=0.012, extra_time_ce=0.5,
+                        extra_time_dit=0.25, extra_time_right=0.02,
+                        diffusion_steps=STEPS, cfg_rate=CFG_RATE,
+                        max_prompt_time=PROMPT_CAP * HOP / SR,
+                        vad_threshold_db=-10000.0)
+    stream = StreamingConverter(vc, scfg)
+
+    rng = np.random.default_rng(17)
+    t2 = np.arange(PROMPT_CAP * HOP) / SR
+    tgt = (0.3 * np.sin(2 * np.pi * 220 * t2)
+           + 0.05 * rng.standard_normal(len(t2))).astype(np.float32)
+
+    noise = _noise_buffer(CONTEXT)
+    real_normal = jax.random.normal
+
+    def fake_normal(key, shape=None, dtype=jnp.float32, *a, **kw):
+        if shape is not None and len(shape) == 3 and shape[-1] == N_MELS:
+            return jnp.asarray(noise[: shape[1]][None]).astype(dtype)
+        return real_normal(key, shape, dtype, *a, **kw)
+
+    # patch BEFORE set_reference: the fused program traces (and warms) there
+    monkeypatch.setattr(jax.random, "normal", fake_normal)
+    try:
+        stream.set_reference(tgt, SR)
+
+        tb = np.arange(stream.block) / SR
+        block = (0.3 * np.sin(2 * np.pi * 160 * tb) + 0.05
+                 * rng.standard_normal(stream.block)).astype(np.float32)
+
+        # drive the device program directly on a zero ring + this block
+        r, r16, k, out_dev = stream._fused(
+            jnp.zeros(stream.window, jnp.float32),
+            jnp.zeros(stream.window_16k, jnp.float32),
+            jnp.asarray(block), stream._prompt_cond_dev,
+            stream._prompt_mel_pad, stream._style, jax.random.PRNGKey(5),
+            vc.whisper_params, vc.vc_params, vc.vocoder_params)
+        out = np.asarray(out_dev)
+    finally:
+        monkeypatch.setattr(jax.random, "normal", real_normal)
+
+    # ---- reference custom_infer re-driven from its modules ----
+    from transformers import WhisperFeatureExtractor
+
+    from seedvc_tpu.dsp.fbank import kaldi_fbank
+    from seedvc_tpu.dsp.resample import resample
+
+    fe = WhisperFeatureExtractor()
+
+    def semantic_fn(wave16):
+        feats = fe([wave16.squeeze(0).numpy()], return_tensors="pt",
+                   sampling_rate=16000).input_features
+        S = ref.whisper.encoder(feats).last_hidden_state
+        return S[:, : wave16.size(-1) // 320 + 1]
+
+    from conftest import import_reference
+
+    ref_audio_mod = import_reference("modules.audio")
+
+    with torch.no_grad():
+        # reference caching block (real-time-gui.py:74-94)
+        tgt16 = np.asarray(resample(jnp.asarray(tgt), SR, 16000))
+        S_ori = semantic_fn(torch.from_numpy(tgt16)[None])
+        feat2 = torch.from_numpy(np.asarray(
+            kaldi_fbank(jnp.asarray(tgt16[None]))))[0]
+        feat2 = feat2 - feat2.mean(dim=0, keepdim=True)
+        style2 = ref.camp(feat2.unsqueeze(0))
+        mel2 = ref_audio_mod.mel_spectrogram(
+            torch.from_numpy(tgt)[None], 1024, N_MELS, SR, HOP, 1024, 0,
+            None)
+        prompt_condition, *_ = ref.reg(
+            S_ori, ylens=torch.LongTensor([mel2.size(2)]), n_quantizers=3,
+            f0=None)
+
+        # per-block path (real-time-gui.py:107-152); ring after one shift =
+        # [zeros ‖ block] at both rates, 16 k via the same repo resampler
+        block16 = np.asarray(resample(jnp.asarray(block), SR, 16000))
+        ring16 = np.zeros(stream.window_16k, np.float32)
+        ring16[-len(block16):] = block16
+
+        S_alt = semantic_fn(torch.from_numpy(ring16)[None])
+        drop = int((stream.extra_ce - stream.extra_dit) / SR * 50)
+        S_alt = S_alt[:, drop:]
+        cond, *_ = ref.reg(S_alt,
+                           ylens=torch.LongTensor([stream.dit_frames]),
+                           n_quantizers=3, f0=None)
+        cat_condition = torch.cat([prompt_condition, cond], dim=1)
+
+        real_randn = torch.randn
+
+        def fake_randn(shape, device=None, **kw):
+            assert list(shape)[1] == N_MELS
+            return torch.from_numpy(
+                noise[: shape[2]].T.copy())[None].to(dtype=torch.float32)
+
+        monkeypatch.setattr(torch, "randn", fake_randn)
+        try:
+            vc_target = ref.cfm.inference(
+                cat_condition,
+                torch.LongTensor([cat_condition.size(1)]),
+                mel2, style2, None, STEPS, inference_cfg_rate=CFG_RATE)
+        finally:
+            monkeypatch.setattr(torch, "randn", real_randn)
+        vc_target = vc_target[:, :, mel2.size(-1):]
+        vc_wave = ref.voc(vc_target.float()).squeeze().numpy()
+
+    ret, tail = stream.return_samples, stream.extra_right
+    out_ref = vc_wave[-ret - tail: -tail]
+
+    assert out.shape == out_ref.shape
+    snr = _snr_db(out_ref, out)
+    assert snr > 30.0, f"streaming block cross-impl SNR {snr:.1f} dB"
