@@ -17,6 +17,8 @@ import os
 import pickle
 import sys
 
+from seedvc_tpu.core.utils import str2bool
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="seedvc_tpu offline VC")
@@ -27,6 +29,17 @@ def main(argv=None):
     ap.add_argument("--preset", default="whisper_small_wavenet")
     ap.add_argument("--diffusion-steps", type=int, default=25)
     ap.add_argument("--length-adjust", type=float, default=1.0)
+    ap.add_argument("--f0-condition", type=str2bool, default=False,
+                    help="SVC mode: F0-conditioned 44.1 kHz model (reference "
+                         "inference.py:546 selects its checkpoint the same "
+                         "way; here it selects the whisper_base_f0_44k "
+                         "preset unless --preset is already F0-conditioned)")
+    ap.add_argument("--auto-f0-adjust", type=str2bool, default=False,
+                    help="match source median log-F0 to the reference's "
+                         "(inference.py:547)")
+    ap.add_argument("--semi-tone-shift", type=float, default=0.0,
+                    help="pitch shift in semitones applied to voiced frames "
+                         "(inference.py:548)")
     ap.add_argument("--inference-cfg-rate", type=float, default=0.7)
     ap.add_argument("--checkpoint-dir", default=None,
                     help="directory with converted .pkl parameter trees")
@@ -45,6 +58,14 @@ def main(argv=None):
     from seedvc_tpu.pipelines.convert import VoiceConverter
 
     cfg = get_preset(args.preset)
+    if args.f0_condition and not cfg.model_params.DiT.f0_condition:
+        # The reference CLI switches checkpoint set (22k -> 44.1k F0 model)
+        # on this flag (inference.py:47-60, :368); presets carry that
+        # choice here.
+        print(f"[info] --f0-condition: preset {args.preset!r} is not "
+              "F0-conditioned, using 'whisper_base_f0_44k'", file=sys.stderr)
+        args.preset = "whisper_base_f0_44k"
+        cfg = get_preset(args.preset)
 
     params = {}
     if args.checkpoint_dir:
@@ -84,6 +105,8 @@ def main(argv=None):
             diffusion_steps=args.diffusion_steps,
             length_adjust=args.length_adjust,
             cfg_rate=args.inference_cfg_rate,
+            auto_f0_adjust=args.auto_f0_adjust,
+            pitch_shift=args.semi_tone_shift,
             seed=args.seed,
             profile=args.profile,
         )

@@ -226,6 +226,41 @@ def test_eval_main_end_to_end(tmp_path, monkeypatch):
 # realtime CLI
 # ---------------------------------------------------------------------------
 
+def test_infer_cli_svc_flags_plumb_through(tmp_path, monkeypatch):
+    """--f0-condition switches to the F0 preset and --auto-f0-adjust /
+    --semi-tone-shift reach convert() (reference inference.py:546-548)."""
+    import numpy as np
+
+    from seedvc_tpu.apps import infer
+    from seedvc_tpu.apps.audio_io import save_wav
+    import seedvc_tpu.pipelines.convert as convert_mod
+
+    seen = {}
+
+    class StubConverter:
+        def __init__(self, cfg, **kw):
+            seen["sr"] = cfg.preprocess_params.sr
+
+        def convert(self, src, src_sr, ref, ref_sr, **kw):
+            seen.update(kw)
+            return 44100, np.zeros(100, np.float32), {
+                "rtf": 0.0, "audio_seconds": 0.0, "wall_seconds": 0.0,
+                "chunks": 1, "stages": {}}
+
+    monkeypatch.setattr(convert_mod, "VoiceConverter", StubConverter)
+    wav = np.zeros(4000, np.float32)
+    src, ref = str(tmp_path / "s.wav"), str(tmp_path / "r.wav")
+    save_wav(src, wav, 16000)
+    save_wav(ref, wav, 16000)
+    infer.main(["--source", src, "--target", ref,
+                "--output", str(tmp_path / "out"),
+                "--f0-condition", "true", "--auto-f0-adjust", "true",
+                "--semi-tone-shift", "2.0"])
+    assert seen["sr"] == 44100  # whisper_base_f0_44k preset selected
+    assert seen["auto_f0_adjust"] is True
+    assert seen["pitch_shift"] == 2.0
+
+
 def test_realtime_settings_roundtrip(tmp_path):
     from seedvc_tpu.apps.realtime import load_settings, save_settings
 
