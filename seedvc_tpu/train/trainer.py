@@ -572,6 +572,26 @@ class Trainer:
         self._ckpt_mgr.save(step, args=ocp.args.PyTreeSave(tree))
         self._ckpt_mgr.wait_until_finished()
 
+    def export_serving(self, out_dir: Optional[str] = None,
+                       use_ema: bool = True) -> str:
+        """Write the trained weights as a serving tree (``vc.pkl``) that
+        ``VoiceConverter`` / ``apps.infer --checkpoint-dir`` load directly —
+        the analogue of the reference's final ``ft_model.pth``
+        (``train.py:1217-1234``; EMA weights preferred like the shipped
+        ``_ema.pth`` checkpoints, ``modules/commons.py:423-432``)."""
+        import pickle
+
+        out_dir = out_dir or os.path.join(self.tcfg.run_dir, "ft_model")
+        os.makedirs(out_dir, exist_ok=True)
+        tree = self.state.params
+        if use_ema and self.state.ema_params is not None:
+            tree = self.state.ema_params
+        tree = jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+        path = os.path.join(out_dir, "vc.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(tree, f)
+        return path
+
     def restore_latest(self) -> bool:
         if self._ckpt_mgr is None or self._ckpt_mgr.latest_step() is None:
             return False

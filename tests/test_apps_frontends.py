@@ -261,6 +261,55 @@ def test_infer_cli_svc_flags_plumb_through(tmp_path, monkeypatch):
     assert seen["pitch_shift"] == 2.0
 
 
+def test_train_cli_pretrained_and_validation_plumb_through(tmp_path,
+                                                           monkeypatch):
+    """--checkpoint-dir loads converted trees into Trainer kwargs (the
+    reference --pretrained-ckpt analogue) and --val-dataset-dir /
+    --validation-interval / --patience reach TrainerConfig/train()."""
+    import pickle
+
+    from seedvc_tpu.apps import train as train_app
+    import seedvc_tpu.train.trainer as trainer_mod
+    import seedvc_tpu.train.dataset as dataset_mod
+
+    seen = {}
+
+    class StubTrainer:
+        def __init__(self, cfg, tcfg, n_model=1, **kw):
+            seen["tcfg"] = tcfg
+            seen["params"] = kw
+
+        def restore_latest(self):
+            return False
+
+        def train(self, dataset, val_dataset=None):
+            seen["val_dataset"] = val_dataset
+            return 0
+
+        def export_serving(self, out_dir=None, use_ema=True):
+            seen["export_dir"] = out_dir
+            return "vc.pkl"
+
+    class StubDataset:
+        def __init__(self, path, sr, batch_size):
+            self.path = path
+
+    monkeypatch.setattr(trainer_mod, "Trainer", StubTrainer)
+    monkeypatch.setattr(dataset_mod, "FTDataset", StubDataset)
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    with open(ckpt / "vc.pkl", "wb") as f:
+        pickle.dump({"w": 1}, f)
+    train_app.main(["--dataset-dir", str(tmp_path),
+                    "--val-dataset-dir", str(tmp_path),
+                    "--validation-interval", "50", "--patience", "3",
+                    "--checkpoint-dir", str(ckpt), "--max-steps", "1"])
+    assert seen["tcfg"].validation_interval == 50
+    assert seen["tcfg"].early_stop_patience == 3
+    assert seen["params"] == {"vc_params": {"w": 1}}
+    assert isinstance(seen["val_dataset"], StubDataset)
+
+
 def test_realtime_settings_roundtrip(tmp_path):
     from seedvc_tpu.apps.realtime import load_settings, save_settings
 

@@ -137,6 +137,22 @@ def test_trainer_weight_ema(wav_dir, tmp_path):
         np.asarray(jax.tree_util.tree_leaves(trainer2.state.ema_params)[0]),
         e2)
 
+    # export_serving writes the EMA weights as a VoiceConverter-loadable
+    # vc.pkl (reference final ft_model.pth, train.py:1217-1234)
+    import pickle
+
+    path = trainer.export_serving()
+    assert path.endswith("vc.pkl")
+    with open(path, "rb") as f:
+        tree = pickle.load(f)
+    assert (jax.tree_util.tree_structure(tree)
+            == jax.tree_util.tree_structure(trainer.state.params))
+    np.testing.assert_array_equal(jax.tree_util.tree_leaves(tree)[0], e2)
+    path_raw = trainer.export_serving(use_ema=False)
+    with open(path_raw, "rb") as f:
+        tree_raw = pickle.load(f)
+    np.testing.assert_array_equal(jax.tree_util.tree_leaves(tree_raw)[0], p2)
+
 
 def test_multi_optimizer_per_module_clipping():
     """make_multi_optimizer clips each module's gradient norm independently
